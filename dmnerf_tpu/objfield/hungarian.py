@@ -1,0 +1,121 @@
+"""In-graph linear-sum-assignment (Hungarian matching) for the object field.
+
+The reference hops to SciPy on the CPU *every training step*
+(/root/reference/networks/evaluator.py:41-74: cost matrix on GPU -> .cpu().numpy() ->
+scipy.optimize.linear_sum_assignment -> back), a device->host->device sync in the hot
+loop. Here the assignment runs fully on-device inside jit: a Jonker-Volgenant
+shortest-augmenting-path solver expressed with lax loops, whose inner Dijkstra step is
+vectorized over columns. Cost matrices are tiny (ins_num^2 ≈ 32x32), so the whole solve
+is microseconds of VPU work and the train step never leaves the chip.
+
+The correctness bar is "same (optimal) assignment cost", not the same tie-breaking as
+SciPy; ties can resolve differently, which is loss-equivalent (SURVEY.md §7 hard parts).
+
+Rectangular (valid_rows x n) problems are handled by padding the remaining rows with a
+constant cost: constant rows are column-indifferent, so the valid rows' assignment
+remains optimal and padding rows absorb the leftover columns — exactly the reference's
+"unmapped columns appended" semantics (evaluator.py:48-52), whose order never matters
+downstream (only the *set* of unmatched columns is consumed, via a mean).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_INF = jnp.inf
+
+
+def _augmenting_path_step(cost, u, v, row4col, col4row, cur_row):
+    """One row of Jonker-Volgenant: Dijkstra to the nearest unassigned column,
+    dual updates, then augment along the predecessor path."""
+    n = cost.shape[0]
+    ar = jnp.arange(n)
+
+    def dij_cond(s):
+        return s[6] < 0
+
+    def dij_body(s):
+        i, min_val, remaining, sr, shortest, path, _sink = s
+        sr = sr.at[i].set(True)
+        r = min_val + cost[i] - u[i] - v
+        upd = (r < shortest) & remaining
+        path = jnp.where(upd, i, path)
+        shortest = jnp.where(upd, r, shortest)
+        masked = jnp.where(remaining, shortest, _INF)
+        j = jnp.argmin(masked)
+        min_val = masked[j]
+        hit_free = row4col[j] < 0
+        sink = jnp.where(hit_free, j, -1)
+        i = jnp.where(hit_free, i, row4col[j])
+        remaining = remaining.at[j].set(False)
+        return (i, min_val, remaining, sr, shortest, path, sink)
+
+    init = (
+        cur_row,
+        jnp.asarray(0.0, cost.dtype),
+        jnp.ones((n,), bool),
+        jnp.zeros((n,), bool),
+        jnp.full((n,), _INF, cost.dtype),
+        jnp.full((n,), -1, jnp.int32),
+        jnp.asarray(-1, jnp.int32),
+    )
+    _, min_val, remaining, sr, shortest, path, sink = jax.lax.while_loop(dij_cond, dij_body, init)
+
+    # dual updates (scanned rows/cols only)
+    u = u.at[cur_row].add(min_val)
+    sr_other = sr & (ar != cur_row)
+    shortest_at_rowcol = shortest[jnp.maximum(col4row, 0)]
+    u = u + jnp.where(sr_other, min_val - shortest_at_rowcol, 0.0)
+    scanned_cols = ~remaining
+    v = v - jnp.where(scanned_cols, min_val - shortest, 0.0)
+
+    # augment: walk predecessors from the sink back to cur_row
+    def aug_cond(s):
+        return ~s[3]
+
+    def aug_body(s):
+        j, r4c, c4r, _done = s
+        i = path[j]
+        r4c = r4c.at[j].set(i)
+        nj = c4r[i]
+        c4r = c4r.at[i].set(j)
+        return (nj, r4c, c4r, i == cur_row)
+
+    _, row4col, col4row, _ = jax.lax.while_loop(
+        aug_cond, aug_body, (sink, row4col, col4row, jnp.asarray(False))
+    )
+    return u, v, row4col, col4row
+
+
+def linear_sum_assignment_jax(cost: jnp.ndarray) -> jnp.ndarray:
+    """Solve the square assignment problem, minimizing total cost.
+
+    cost: [n, n] finite float matrix. Returns col4row [n] int32: the column assigned
+    to each row. jit-safe; O(n^3) with vectorized O(n) inner steps.
+    """
+    n = cost.shape[0]
+    cost = jax.lax.stop_gradient(jnp.asarray(cost, jnp.float32))
+    u = jnp.zeros((n,), cost.dtype)
+    v = jnp.zeros((n,), cost.dtype)
+    row4col = jnp.full((n,), -1, jnp.int32)
+    col4row = jnp.full((n,), -1, jnp.int32)
+
+    def body(cur_row, carry):
+        return _augmenting_path_step(cost, *carry, cur_row)
+
+    _, _, _, col4row = jax.lax.fori_loop(0, n, body, (u, v, row4col, col4row))
+    return col4row
+
+
+def masked_assignment(cost: jnp.ndarray, valid_rows: jnp.ndarray) -> jnp.ndarray:
+    """Assignment for the first ``valid_rows`` rows of a square cost matrix.
+
+    Rows >= valid_rows are replaced by a constant (column-indifferent) cost, so the
+    returned col4row[:valid_rows] is an optimal rectangular assignment and the columns
+    taken by padding rows are exactly the unmatched set.
+    """
+    n = cost.shape[0]
+    pad = jnp.arange(n)[:, None] >= valid_rows
+    cost = jnp.where(pad, 0.0, cost)
+    return linear_sum_assignment_jax(cost)

@@ -1,0 +1,101 @@
+"""Instance (object-field) losses: Hungarian-matched CE + soft-IoU, and RGB metrics.
+
+Behavioral parity with /root/reference/networks/evaluator.py:
+ * img2mse / mse2psnr  (evaluator.py:11,15)
+ * ins_criterion       (evaluator.py:19-37): GT labels -> compacted one-hot over the
+   image's valid instances; pairwise cost = pixel-mean BCE + (1 - soft IoU); optimal
+   row->column matching; loss = mean matched CE + mean of unmatched-column predictions
+   + mean matched soft-IoU. The matching itself carries no gradient (the reference
+   solves it under no_grad on the CPU); gradients flow through the matched cost
+   entries only.
+
+TPU-first design:
+ * the reference's dynamic ``torch.unique`` + fancy-indexed one-hot (evaluator.py:21-25)
+   becomes a static-shape rank-compaction: presence scatter -> cumsum ranks -> one_hot.
+ * both cost matrices are computed as two [C, N] x [N, C] matmuls (BCE) plus one for TP
+   (soft-IoU) — MXU work instead of the reference's [C, C, N] broadcast materialization.
+ * assignment runs in-graph (see dmnerf_tpu.objfield.hungarian) — no host sync.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from dmnerf_tpu.objfield.hungarian import masked_assignment
+
+
+def img2mse(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    return jnp.mean((x - y) ** 2)
+
+
+def mse2psnr(mse: jnp.ndarray) -> jnp.ndarray:
+    return -10.0 * jnp.log(mse) / jnp.log(10.0)
+
+
+def compact_one_hot(gt_labels: jnp.ndarray, ins_num: int) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Static-shape equivalent of the reference's unique+one_hot compaction
+    (evaluator.py:21-25).
+
+    Returns (gt_ins [N, ins_num], valid_ins_num scalar, present [ins_num] bool).
+    Column j of gt_ins is the mask of the j-th smallest label present in gt_labels;
+    columns >= valid_ins_num are zero.
+    """
+    gt_labels = gt_labels.astype(jnp.int32)
+    present = jnp.zeros((ins_num,), bool).at[gt_labels].set(True)
+    valid_ins_num = jnp.sum(present).astype(jnp.int32)
+    rank = jnp.cumsum(present.astype(jnp.int32)) - 1          # rank of each present label
+    gt_compact = rank[gt_labels]                               # [N], in [0, valid)
+    gt_ins = jax.nn.one_hot(gt_compact, ins_num, dtype=jnp.float32)
+    return gt_ins, valid_ins_num, present
+
+
+def pairwise_costs(pred_ins: jnp.ndarray, gt_ins: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """cost_ce[i, j] = mean_n BCE(pred[:, j]; gt[:, i]);
+    cost_siou[i, j] = 1 - TP/(TP+FP+FN+1e-6).  (evaluator.py:54-68)"""
+    n = pred_ins.shape[0]
+    log_p = jnp.log(pred_ins + 1e-8)
+    log_1p = jnp.log(1.0 - pred_ins + 1e-8)
+    gt_t = gt_ins.T  # [C, N]
+    cost_ce = -(
+        jnp.dot(gt_t, log_p, preferred_element_type=jnp.float32)
+        + jnp.dot(1.0 - gt_t, log_1p, preferred_element_type=jnp.float32)
+    ) / n
+    tp = jnp.dot(gt_t, pred_ins, preferred_element_type=jnp.float32)   # [C, C]
+    pred_sum = jnp.sum(pred_ins, axis=0)[None, :]
+    gt_sum = jnp.sum(gt_ins, axis=0)[:, None]
+    siou = tp / (tp + (pred_sum - tp) + (gt_sum - tp) + 1e-6)
+    return cost_ce, 1.0 - siou
+
+
+def ins_criterion(pred_ins: jnp.ndarray, gt_labels: jnp.ndarray, ins_num: int):
+    """pred_ins: [N, ins_num] sigmoid-composited instance probabilities (air dropped);
+    gt_labels: [N] int labels in [0, ins_num).
+
+    Returns (total, valid_ce, invalid_ce, valid_siou) exactly as the reference
+    (evaluator.py:27-37).
+    """
+    C = ins_num
+    gt_ins, valid, _ = compact_one_hot(gt_labels, C)
+    cost_ce, cost_siou = pairwise_costs(pred_ins, gt_ins)
+    col4row = masked_assignment(jax.lax.stop_gradient(cost_ce + cost_siou), valid)
+
+    rows = jnp.arange(C)
+    valid_mask = (rows < valid).astype(pred_ins.dtype)
+    matched_ce = cost_ce[rows, col4row]
+    matched_siou = cost_siou[rows, col4row]
+    denom = jnp.maximum(valid, 1).astype(pred_ins.dtype)
+    valid_ce = jnp.sum(matched_ce * valid_mask) / denom
+    valid_siou = jnp.sum(matched_siou * valid_mask) / denom
+
+    # columns matched to a VALID row; the rest are the reference's order_col[valid:]
+    matched_col = jnp.zeros((C,), pred_ins.dtype).at[col4row].max(valid_mask)
+    invalid_col = 1.0 - matched_col
+    n_invalid = jnp.sum(invalid_col)
+    col_mean_pred = jnp.mean(pred_ins, axis=0)
+    invalid_ce = jnp.sum(col_mean_pred * invalid_col) / jnp.maximum(n_invalid, 1.0)
+
+    total = valid_ce + invalid_ce + valid_siou
+    return total, valid_ce, invalid_ce, valid_siou
