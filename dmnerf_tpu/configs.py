@@ -162,7 +162,15 @@ def parse_config_text(text: str, base: Optional[Config] = None) -> Config:
             key, raw = line, "true"
         key = _ALIASES.get(key, key)
         if key not in _FIELDS:
-            continue  # unknown keys are ignored, like configargparse did
+            # unknown keys are ignored (configargparse parity) but loudly: a typo'd
+            # key (n_iters vs N_iters) otherwise silently trains the default 500k
+            import difflib
+            import warnings
+
+            close = difflib.get_close_matches(key, _FIELDS, n=1)
+            hint = f" (did you mean '{close[0]}'?)" if close else ""
+            warnings.warn(f"config: ignoring unknown key '{key}'{hint}", stacklevel=2)
+            continue
         updates[key] = _coerce(_FIELDS[key], raw)
     return cfg.replace(**updates)
 

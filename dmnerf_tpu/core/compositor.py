@@ -38,13 +38,20 @@ class Composited(NamedTuple):
 
 
 def exclusive_cumprod_one_minus(alpha: jnp.ndarray, use_log_scan: bool = True) -> jnp.ndarray:
-    """T_i = prod_{k<i} (1 - alpha_k + 1e-10), T_0 = 1."""
-    one_minus = 1.0 - alpha + 1e-10
+    """T_i = prod_{k<i} (1 - alpha_k + 1e-10), T_0 = 1.
+
+    The log-scan path clamps 1-alpha at 1e-10 instead of adding it: under jit, XLA
+    constant-folds ``1 - alpha + 1e-10`` to ``1 - alpha`` (1 + 1e-10 == 1 in f32),
+    which is exactly 0 at saturated alpha — log(0) = -inf makes the backward pass
+    emit 0·inf = NaN. max() keeps the forward within 1e-10 of the literal-cumprod
+    reference semantics AND routes the clamped branch's gradient to the constant,
+    so the backward stays finite at alpha == 1."""
     if use_log_scan:
+        one_minus = jnp.maximum(1.0 - alpha, 1e-10)
         log_t = jnp.cumsum(jnp.log(one_minus), axis=-1)
         t = jnp.exp(log_t)
     else:
-        t = jnp.cumprod(one_minus, axis=-1)
+        t = jnp.cumprod(1.0 - alpha + 1e-10, axis=-1)
     return jnp.concatenate([jnp.ones_like(t[..., :1]), t[..., :-1]], axis=-1)
 
 

@@ -32,11 +32,16 @@ def _augmenting_path_step(cost, u, v, row4col, col4row, cur_row):
     n = cost.shape[0]
     ar = jnp.arange(n)
 
+    # Both inner loops are iteration-bounded: Dijkstra scans at most n columns and the
+    # augmenting walk has at most n edges. The bound matters on TPU — a non-finite cost
+    # (upstream NaN) could otherwise stall the free-column search forever and trip the
+    # device watchdog; with the bound, bad inputs degrade to a wrong-but-finite
+    # assignment instead of a chip kill.
     def dij_cond(s):
-        return s[6] < 0
+        return (s[6] < 0) & (s[7] <= n)
 
     def dij_body(s):
-        i, min_val, remaining, sr, shortest, path, _sink = s
+        i, min_val, remaining, sr, shortest, path, _sink, it = s
         sr = sr.at[i].set(True)
         r = min_val + cost[i] - u[i] - v
         upd = (r < shortest) & remaining
@@ -49,7 +54,7 @@ def _augmenting_path_step(cost, u, v, row4col, col4row, cur_row):
         sink = jnp.where(hit_free, j, -1)
         i = jnp.where(hit_free, i, row4col[j])
         remaining = remaining.at[j].set(False)
-        return (i, min_val, remaining, sr, shortest, path, sink)
+        return (i, min_val, remaining, sr, shortest, path, sink, it + 1)
 
     init = (
         cur_row,
@@ -59,8 +64,10 @@ def _augmenting_path_step(cost, u, v, row4col, col4row, cur_row):
         jnp.full((n,), _INF, cost.dtype),
         jnp.full((n,), -1, jnp.int32),
         jnp.asarray(-1, jnp.int32),
+        jnp.asarray(0, jnp.int32),
     )
-    _, min_val, remaining, sr, shortest, path, sink = jax.lax.while_loop(dij_cond, dij_body, init)
+    _, min_val, remaining, sr, shortest, path, sink, _ = jax.lax.while_loop(dij_cond, dij_body, init)
+    sink = jnp.maximum(sink, 0)  # bound hit (non-finite cost): pick col 0, stay well-formed
 
     # dual updates (scanned rows/cols only)
     u = u.at[cur_row].add(min_val)
@@ -70,20 +77,20 @@ def _augmenting_path_step(cost, u, v, row4col, col4row, cur_row):
     scanned_cols = ~remaining
     v = v - jnp.where(scanned_cols, min_val - shortest, 0.0)
 
-    # augment: walk predecessors from the sink back to cur_row
+    # augment: walk predecessors from the sink back to cur_row (bounded, see above)
     def aug_cond(s):
-        return ~s[3]
+        return (~s[3]) & (s[4] <= n)
 
     def aug_body(s):
-        j, r4c, c4r, _done = s
-        i = path[j]
+        j, r4c, c4r, _done, it = s
+        i = jnp.maximum(path[j], 0)
         r4c = r4c.at[j].set(i)
         nj = c4r[i]
         c4r = c4r.at[i].set(j)
-        return (nj, r4c, c4r, i == cur_row)
+        return (nj, r4c, c4r, i == cur_row, it + 1)
 
-    _, row4col, col4row, _ = jax.lax.while_loop(
-        aug_cond, aug_body, (sink, row4col, col4row, jnp.asarray(False))
+    _, row4col, col4row, _, _ = jax.lax.while_loop(
+        aug_cond, aug_body, (sink, row4col, col4row, jnp.asarray(False), jnp.asarray(0, jnp.int32))
     )
     return u, v, row4col, col4row
 
@@ -96,6 +103,9 @@ def linear_sum_assignment_jax(cost: jnp.ndarray) -> jnp.ndarray:
     """
     n = cost.shape[0]
     cost = jax.lax.stop_gradient(jnp.asarray(cost, jnp.float32))
+    # Non-finite entries (upstream NaN/inf) would poison the dual updates; clamp them
+    # to a large finite value so the solver stays well-defined (and bounded, above).
+    cost = jnp.nan_to_num(cost, nan=1e9, posinf=1e9, neginf=-1e9)
     u = jnp.zeros((n,), cost.dtype)
     v = jnp.zeros((n,), cost.dtype)
     row4col = jnp.full((n,), -1, jnp.int32)

@@ -56,8 +56,11 @@ def pairwise_costs(pred_ins: jnp.ndarray, gt_ins: jnp.ndarray) -> Tuple[jnp.ndar
     """cost_ce[i, j] = mean_n BCE(pred[:, j]; gt[:, i]);
     cost_siou[i, j] = 1 - TP/(TP+FP+FN+1e-6).  (evaluator.py:54-68)"""
     n = pred_ins.shape[0]
-    log_p = jnp.log(pred_ins + 1e-8)
-    log_1p = jnp.log(1.0 - pred_ins + 1e-8)
+    # clamped (not `x + 1e-8`): XLA reassociates `1 - p + 1e-8` to `1 - p` in f32,
+    # so a saturated sigmoid gives log(0) = -inf and 0·inf = NaN under jit — see the
+    # identical pattern and full explanation in objfield/penalizer.py.
+    log_p = jnp.log(jnp.maximum(pred_ins, 1e-8))
+    log_1p = jnp.log(jnp.maximum(1.0 - pred_ins, 1e-8))
     gt_t = gt_ins.T  # [C, N]
     cost_ce = -(
         jnp.dot(gt_t, log_p, preferred_element_type=jnp.float32)

@@ -51,7 +51,14 @@ def emptiness_penalizer(
 
     # before-region: push every channel toward the air one-hot [0,...,0,1]
     air = jnp.zeros((n_ch,), raw.dtype).at[-1].set(1.0)
-    bce_before = -air * jnp.log(pred_ins + 1e-8) - (1.0 - air) * jnp.log(1.0 - pred_ins + 1e-8)
+    # log args clamped at 1e-8 rather than the reference's literal `x + 1e-8`: under
+    # jit, XLA reassociates `1 - pred + 1e-8` to `(1 + 1e-8) - pred` == `1 - pred`
+    # (1 + 1e-8 rounds to 1 in f32), which is exactly 0 at saturated sigmoid — the
+    # resulting -inf turns masked-out terms into 0*inf = NaN inside the sum. max()
+    # keeps the value within 1e-8 of the reference semantics and is fold-proof.
+    bce_before = -air * jnp.log(jnp.maximum(pred_ins, 1e-8)) - (1.0 - air) * jnp.log(
+        jnp.maximum(1.0 - pred_ins, 1e-8)
+    )
     w_before = gauss_air * mask_before
     loss_before = jnp.sum(bce_before * w_before[..., None]) / (
         n_ch * jnp.maximum(jnp.sum(mask_before), 1e-8)
@@ -59,7 +66,7 @@ def emptiness_penalizer(
 
     # middle-region: push the air channel toward zero
     air_prob = pred_ins[..., -1]
-    bce_middle = -jnp.log(1.0 - air_prob + 1e-8)
+    bce_middle = -jnp.log(jnp.maximum(1.0 - air_prob, 1e-8))
     w_middle = gauss * mask_middle
     loss_middle = jnp.sum(bce_middle * w_middle) / jnp.maximum(jnp.sum(mask_middle), 1e-8)
 

@@ -1,0 +1,1 @@
+from dmnerf_tpu.parallel.mesh import make_mesh, make_sharded_train_step, shard_batch

@@ -1,0 +1,70 @@
+"""Multi-chip scaling: ray-sharded data parallelism over a jax.sharding Mesh.
+
+The reference has NO distributed code of any kind (single cuda:0,
+/root/reference/config.py:170-174; SURVEY.md §2.2) — this module is new TPU-native
+design:
+
+ * mesh axes: 1-D ('data',). The ray batch (and every per-ray tensor derived from it)
+   is sharded along 'data'; parameters, optimizer state, and the RNG key are
+   replicated.
+ * Sharding DECISION (documented per SURVEY.md §2.2): the two MLPs total ≈1.2 M
+   parameters — full replication is strictly optimal; there is no tensor/pipeline/
+   expert dimension worth sharding, and the model has no attention, so context/ring
+   parallelism has no counterpart. The scalable axis is rays (and, inside a chip,
+   samples — handled by Pallas tiling, not the mesh).
+ * Collectives are emitted by GSPMD from the sharding annotations alone: the gradient
+   all-reduce (psum over 'data') falls out of replicated-param/sharded-batch jit, and
+   the Hungarian cost matrices — [C, N] x [N, C] matmuls over the sharded ray axis —
+   reduce with a psum, after which the tiny assignment solve runs replicated on every
+   chip (no gather of per-ray tensors).
+ * Multi-host: the same code path; jax.distributed.initialize() before mesh creation
+   gives a global device set, grads ride ICI within a slice and DCN across hosts.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from dmnerf_tpu.configs import Config
+from dmnerf_tpu.render.trainstep import Batch, TrainState, make_train_step
+
+
+def make_mesh(n_devices: Optional[int] = None, devices: Optional[Sequence] = None) -> Mesh:
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), axis_names=("data",))
+
+
+def shard_batch(mesh: Mesh, batch: Batch) -> Batch:
+    sh = NamedSharding(mesh, P("data"))
+    return Batch(*(jax.device_put(x, sh) for x in batch))
+
+
+def make_sharded_train_step(cfg: Config, mesh: Mesh, query_fn=None, N_ins=None):
+    """Like render.trainstep.make_train_step, but jitted over the mesh with explicit
+    in/out shardings. Per-ray batch axes are sharded on 'data'; state is replicated.
+
+    NOTE: cfg.N_train must be divisible by the 'data' axis size.
+    """
+    assert cfg.N_train % mesh.shape["data"] == 0, (
+        f"N_train={cfg.N_train} not divisible by data axis {mesh.shape['data']}"
+    )
+    raw_step = make_train_step(cfg, query_fn=query_fn, N_ins=N_ins, jit=False)
+
+    data = NamedSharding(mesh, P("data"))
+    repl = NamedSharding(mesh, P())
+    batch_sh = Batch(rays_o=data, rays_d=data, target_c=data, target_i=data)
+
+    # pytree-prefix shardings: `repl` broadcasts over the whole TrainState / aux trees
+    return jax.jit(
+        raw_step,
+        in_shardings=(repl, batch_sh, repl),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,),
+    )

@@ -1,0 +1,165 @@
+"""Colored instance mesh extraction.
+
+Behavioral parity with /root/reference/tools/mesh_generator.py:12-143:
+ * sampling frame: oriented bounds of the dataset's mesh.ply (PCA OBB here — see
+   tools.meshing.oriented_bounds_pca) or identity fallback; hardcoded scene extents
+   [1.9, 7.0, 7.0] as the reference uses (mesh_generator.py:27);
+ * 256^3 grid in [-1,1]^3 -> scaled by extents/2 -> rotated/translated into the scene,
+   then the blender axis swap ([x,z,y], y negated; mesh_generator.py:31-32);
+ * chunked fine-MLP sigma query with zero view dirs;
+ * occupancy = 1 - exp(-relu(sigma) * voxel), voxel = (far-near)/N_importance;
+ * iso-surface at level 0.45, gradient-ascent orientation; vertices mapped
+   grid -> [0,1] -> [-1,1] -> scene frame; mesh.ply written;
+ * connected-component cleaning (min 400 faces);
+ * per-vertex instance color: cast rays along the NEGATIVE vertex normal from just
+   outside the surface (o = v - d*0.03*near) through the full coarse->fine pipeline
+   with z in [0.01, 15] (the reference's hardcoded mesh-ray bounds,
+   mesh_generator.py:124), argmax instance -> palette color -> color_mesh.ply.
+
+TPU-first: both the 16.7M-point sigma sweep and the per-vertex ray render run as
+jitted lax.map chunk sweeps on device; everything else is host NumPy.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional
+
+import numpy as np
+
+from dmnerf_tpu.configs import Config
+from dmnerf_tpu.core.embedding import positional_encoding
+from dmnerf_tpu.core.mlp import dm_nerf_apply
+from dmnerf_tpu.render.renderer import make_image_renderer
+from dmnerf_tpu.tools.meshing import (
+    clean_mesh,
+    marching_tetrahedra,
+    oriented_bounds_pca,
+    read_ply,
+    vertex_normals,
+    write_ply,
+)
+from dmnerf_tpu.tools.visualizer import render_label2world
+
+DEFAULT_EXTENTS = np.array([1.9, 7.0, 7.0])  # reference mesh_generator.py:27
+LEVEL = 0.45
+GRID_DIM = 256
+MIN_CLUSTER = 400
+
+
+def make_sigma_query(cfg: Config, chunk: int = 65536):
+    """Batched density query: pts [N, 3] -> sigma [N], one jitted lax.map sweep."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def query(params_fine, pts):
+        n = pts.shape[0]
+        pad = (-n) % chunk
+        if pad:
+            pts_p = jnp.concatenate([pts, jnp.zeros((pad, 3), pts.dtype)], 0)
+        else:
+            pts_p = pts
+        pts_c = pts_p.reshape(-1, chunk, 3)
+
+        def one(p):
+            emb_p = positional_encoding(p, cfg.multires)
+            emb_d = positional_encoding(jnp.zeros_like(p), cfg.multires_views)
+            raw = dm_nerf_apply(params_fine, emb_p, emb_d, D=cfg.netdepth, skips=tuple(cfg.skips))
+            return raw[..., 3]
+
+        sig = jax.lax.map(one, pts_c)
+        return sig.reshape(-1)[:n]
+
+    return query
+
+
+def build_grid(scene_transform: np.ndarray, extents: np.ndarray, dim: int = GRID_DIM):
+    """[-1,1]^3 grid scaled/rotated into the scene + the blender axis swap."""
+    t = np.linspace(-1.0, 1.0, dim, dtype=np.float32)
+    gx, gy, gz = np.meshgrid(t, t, t, indexing="ij")
+    grid = np.stack([gx, gy, gz], -1).reshape(-1, 3)
+    grid = grid * (extents / 2.0)
+    grid = grid @ scene_transform[:3, :3].T + scene_transform[:3, 3]
+    grid = grid[:, [0, 2, 1]]
+    grid[:, 1] *= -1
+    return grid.astype(np.float32)
+
+
+def mesh_main(
+    cfg: Config,
+    params_coarse,
+    params_fine,
+    ins_rgbs: np.ndarray,
+    save_dir: str,
+    ins_map: Optional[Dict] = None,
+    color_dict: Optional[Dict] = None,
+    grid_dim: int = GRID_DIM,
+    extents: Optional[np.ndarray] = None,
+    threshold: float = 0.2,
+) -> str:
+    import jax.numpy as jnp
+
+    if color_dict is None:
+        color_dict = {str(i): i for i in range(cfg.ins_num)}
+    if ins_map is None:
+        ins_map = {str(i): i for i in range(cfg.ins_num)}
+    if extents is None:
+        extents = DEFAULT_EXTENTS
+
+    mesh_file = os.path.join(cfg.datadir, "mesh.ply")
+    if os.path.exists(mesh_file):
+        verts_scene, _ = read_ply(mesh_file)
+        to_origin, _ = oriented_bounds_pca(verts_scene)
+        scene_transform = np.linalg.inv(to_origin)
+    else:
+        scene_transform = np.eye(4)
+
+    grid = build_grid(scene_transform, np.asarray(extents), grid_dim)
+    sigma_query = make_sigma_query(cfg)
+    sigma = np.asarray(sigma_query(params_fine, jnp.asarray(grid)))
+
+    voxel = (cfg.far - cfg.near) / cfg.N_importance
+    occ = 1.0 - np.exp(-np.maximum(sigma, 0) * voxel)
+    occ = occ.reshape(grid_dim, grid_dim, grid_dim)
+    print(f"[mesh] fraction occupied: {(occ > threshold).mean():.4f} "
+          f"max {occ.max():.3f} mean {occ.mean():.4f}")
+
+    verts, faces = marching_tetrahedra(occ, LEVEL)
+    if len(faces) == 0:
+        print("[mesh] empty iso-surface; nothing to write")
+        return save_dir
+    # grid index -> [0,1] -> [-1,1] -> scene frame
+    verts = verts / (grid_dim - 1)
+    verts = (verts - 0.5) * 2.0
+    verts = verts * (np.asarray(extents) / 2.0)
+    verts = verts @ scene_transform[:3, :3].T + scene_transform[:3, 3]
+
+    write_ply(os.path.join(save_dir, "mesh.ply"), verts.astype(np.float32), faces)
+    print(f"[mesh] mesh.ply: {len(verts)} verts, {len(faces)} faces")
+
+    verts_c, faces_c, _ = clean_mesh(verts, faces, min_num_cluster=MIN_CLUSTER)
+    if len(faces_c) == 0:
+        verts_c, faces_c = verts, faces
+    normals = vertex_normals(verts_c, faces_c)
+    print(f"[mesh] cleaned: {len(verts_c)} verts, {len(faces_c)} faces")
+
+    # per-vertex instance rays: march along the negative normal through the renderer
+    rays_d = -normals
+    rays_d = rays_d[:, [0, 2, 1]].copy()
+    rays_d[:, 1] *= -1
+    v_sw = verts_c[:, [0, 2, 1]].copy()
+    v_sw[:, 1] *= -1
+    rays_o = v_sw - rays_d * 0.03 * cfg.near
+
+    mesh_cfg = cfg.replace(near=0.01, far=15.0, perturb=0.0)
+    renderer = make_image_renderer(mesh_cfg)
+    out = renderer(params_coarse, params_fine,
+                   jnp.asarray(rays_o, jnp.float32), jnp.asarray(rays_d, jnp.float32))
+    pred_label = np.argmax(np.asarray(out["ins"]), axis=-1)
+    colors = render_label2world(pred_label, ins_rgbs, color_dict, ins_map)
+
+    out_path = os.path.join(save_dir, "color_mesh.ply")
+    write_ply(out_path, verts_c.astype(np.float32), faces_c, colors=colors, normals=normals)
+    print(f"[mesh] color_mesh.ply written")
+    return out_path

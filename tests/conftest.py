@@ -18,3 +18,9 @@ import jax  # noqa: E402
 
 jax.config.update("jax_default_matmul_precision", "highest")
 jax.config.update("jax_default_device", jax.devices("cpu")[0])
+
+# persistent compile cache: the fused train step is a large graph and XLA-CPU on this
+# 2-vCPU host takes minutes to compile it cold; warm runs hit the cache.
+_cache = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _cache)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -136,6 +136,49 @@ def test_penalizer_regions_and_finiteness():
     assert np.abs(g[..., 4:]).max() > 0.0
 
 
+def test_penalizer_jit_saturated_logits_no_nan():
+    """Regression: with saturated ins logits (sigmoid == 1.0 exactly in f32), XLA used
+    to reassociate `1 - pred + 1e-8` to `1 - pred`, giving log(0) = -inf and
+    0-weight * inf = NaN in the masked sum — ONLY under jit (eager kept the literal
+    order). Value and grad must stay finite and match eager."""
+    rng = np.random.RandomState(3)
+    N, S, C = 16, 16, 6
+    raw = rng.randn(N, S, 4 + C + 1).astype(np.float32)
+    raw[..., 4:] = rng.choice([-40.0, 20.0, 0.3], size=(N, S, C + 1))  # saturate sigmoid
+    raw = jnp.asarray(raw)
+    z = jnp.asarray(np.tile(np.linspace(1, 8, S, dtype=np.float32), (N, 1)))
+    depth = jnp.asarray(rng.uniform(2.5, 6.0, N).astype(np.float32))
+    rays_d = jnp.asarray(rng.randn(N, 3).astype(np.float32))
+
+    def f(r):
+        return emptiness_penalizer(r, z, depth, rays_d, tolerance=0.05, deta_w=0.05)
+
+    eager_val = float(f(raw))
+    jit_val, jit_grad = jax.jit(jax.value_and_grad(f))(raw)
+    assert np.isfinite(eager_val)
+    np.testing.assert_allclose(float(jit_val), eager_val, rtol=1e-5)
+    assert np.all(np.isfinite(np.asarray(jit_grad)))
+
+
+def test_ins_criterion_jit_saturated_probs_no_nan():
+    """Same reassociation hazard in the pairwise BCE cost matrix (losses.py)."""
+    from dmnerf_tpu.objfield.losses import ins_criterion
+
+    rng = np.random.RandomState(0)
+    N, C = 64, 6
+    pred = jnp.asarray(rng.choice([0.0, 1.0, 0.4], size=(N, C)).astype(np.float32))
+    gt = jnp.asarray(rng.randint(0, C, N))
+
+    def f(p):
+        return ins_criterion(p, gt, C)[0]
+
+    eager_val = float(f(pred))
+    jit_val, jit_grad = jax.jit(jax.value_and_grad(f))(pred)
+    assert np.isfinite(eager_val)
+    np.testing.assert_allclose(float(jit_val), eager_val, rtol=1e-5)
+    assert np.all(np.isfinite(np.asarray(jit_grad)))
+
+
 def test_mse_psnr():
     x = jnp.asarray([[0.5, 0.5]])
     y = jnp.asarray([[0.0, 0.0]])
