@@ -100,6 +100,18 @@ class Config:
     checkpoint_every: int = 10000
     resume: bool = True           # train resume (capability superset; reference never resumes)
 
+    def __post_init__(self):
+        # The reference ships tolerance/deta_w with default=None (config.py:110-112) and
+        # crashes with a TypeError if over_penalize is set without them; a zero deta_w
+        # is worse here — exp(-0/0) = NaN silently kills the instance head (the Gaussian
+        # has zero width). Fail loudly at config time instead.
+        if self.penalize and (self.deta_w <= 0.0 or self.tolerance <= 0.0):
+            raise ValueError(
+                "penalize/over_penalize requires tolerance > 0 and deta_w > 0 "
+                f"(got tolerance={self.tolerance}, deta_w={self.deta_w}); the reference "
+                "configs set both to 0.05 (configs/train/dmsr/study.txt:18-19)"
+            )
+
     @property
     def log_dir(self) -> str:
         t = self.log_time if self.log_time is not None else "run"

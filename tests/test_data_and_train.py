@@ -144,3 +144,20 @@ def test_sharded_step_matches_single_device():
             np.asarray(out1.params_fine[k]), np.asarray(out8.params_fine[k]),
             rtol=2e-4, atol=2e-6,
         )
+
+
+def test_penalize_requires_positive_gaussian_width():
+    """over_penalize with unset tolerance/deta_w must fail loudly at config time:
+    a zero-width Gaussian makes the penalizer emit exp(-0/0)=NaN the moment a
+    z-sample lands exactly at the rendered depth (observed killing the instance
+    head at iter 56 on the synthetic scene). The reference ships default=None and
+    would TypeError (reference config.py:110-112)."""
+    from dmnerf_tpu.configs import parse_config_text
+
+    with pytest.raises(ValueError, match="deta_w"):
+        Config(penalize=True)
+    with pytest.raises(ValueError, match="deta_w"):
+        parse_config_text("over_penalize")
+    # setting both on the same parse is fine
+    cfg = parse_config_text("over_penalize\ntolerance = 0.05\ndeta_w = 0.05")
+    assert cfg.penalize and cfg.deta_w == 0.05
