@@ -47,6 +47,37 @@ def make_xla_query_fn(multires: int = 10, multires_views: int = 4, D: int = 8, s
     return query
 
 
+def make_query_fn(cfg, mesh=None) -> QueryFn:
+    """Config-driven dispatch: the fused Pallas kernel on TPU (cfg.use_pallas, the
+    default), the pure-XLA path everywhere else (CPU tests, i_embed=-1 identity
+    embedding). Both are drop-in interchangeable (tests/test_kernels.py).
+
+    mesh: pass the data mesh when the query runs inside a sharded (pjit) step —
+    GSPMD cannot partition a pallas_call, so the kernel is shard_map'ed over the ray
+    axis (see kernels.fused_mlp). The XLA path ignores it (GSPMD handles it)."""
+    import jax as _jax
+
+    # the execution platform is the mesh's (sharded steps may target a virtual CPU
+    # mesh) or the default DEVICE's (tests pin jax_default_device=cpu while the TPU
+    # plugin stays registered, so default_backend() alone would lie)
+    _dev = _jax.config.jax_default_device
+    if mesh is not None:
+        platform = next(iter(mesh.devices.flat)).platform
+    elif _dev is not None:
+        platform = _dev.platform
+    else:
+        platform = _jax.default_backend()
+    if cfg.use_pallas and cfg.i_embed == 0 and cfg.multires > 0 and cfg.multires_views > 0 \
+            and platform == "tpu":
+        from dmnerf_tpu.kernels.fused_mlp import make_pallas_query_fn
+
+        return make_pallas_query_fn(cfg.multires, cfg.multires_views, cfg.netdepth,
+                                    tuple(cfg.skips), mesh=mesh)
+    mr = cfg.multires if cfg.i_embed == 0 else -1
+    mrv = cfg.multires_views if cfg.i_embed == 0 else -1
+    return make_xla_query_fn(mr, mrv, cfg.netdepth, tuple(cfg.skips))
+
+
 def render_rays(
     params_coarse: Dict,
     params_fine: Dict,

@@ -55,6 +55,12 @@ def make_sharded_train_step(cfg: Config, mesh: Mesh, query_fn=None, N_ins=None):
     assert cfg.N_train % mesh.shape["data"] == 0, (
         f"N_train={cfg.N_train} not divisible by data axis {mesh.shape['data']}"
     )
+    if query_fn is None:
+        # mesh-aware dispatch: the Pallas kernel must be shard_map'ed (GSPMD cannot
+        # partition a tpu_custom_call); the XLA path partitions automatically.
+        from dmnerf_tpu.core.pipeline import make_query_fn
+
+        query_fn = make_query_fn(cfg, mesh=mesh)
     raw_step = make_train_step(cfg, query_fn=query_fn, N_ins=N_ins, jit=False)
 
     data = NamedSharding(mesh, P("data"))

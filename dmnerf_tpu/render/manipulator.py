@@ -40,7 +40,7 @@ import jax.numpy as jnp
 
 from dmnerf_tpu.configs import Config
 from dmnerf_tpu.core.compositor import composite
-from dmnerf_tpu.core.pipeline import QueryFn, make_xla_query_fn
+from dmnerf_tpu.core.pipeline import QueryFn, make_query_fn
 from dmnerf_tpu.core.sampling import sample_pdf, z_val_sample
 
 
@@ -118,7 +118,7 @@ def manipulate_rays(
     key=None,
 ) -> Dict[str, jnp.ndarray]:
     if query_fn is None:
-        query_fn = make_xla_query_fn(cfg.multires, cfg.multires_views, cfg.netdepth, tuple(cfg.skips))
+        query_fn = make_query_fn(cfg)
     K = len(tar_rays)
     assert K == len(move_labels)
     n = ori_rays[0].shape[0]
@@ -183,7 +183,7 @@ def make_manipulator_renderer(cfg: Config, n_targets: int, query_fn: Optional[Qu
     program). Returns fn(params_coarse, params_fine, ori_o, ori_d,
     tar_o [K,N,3], tar_d [K,N,3], move_labels tuple) -> dict of flat maps."""
     if query_fn is None:
-        query_fn = make_xla_query_fn(cfg.multires, cfg.multires_views, cfg.netdepth, tuple(cfg.skips))
+        query_fn = make_query_fn(cfg)
     chunk = cfg.N_test
 
     import functools

@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from dmnerf_tpu.configs import Config
-from dmnerf_tpu.core.pipeline import QueryFn, make_xla_query_fn, render_rays
+from dmnerf_tpu.core.pipeline import QueryFn, make_query_fn, render_rays
 from dmnerf_tpu.core.sampling import z_val_sample
 
 
@@ -32,7 +32,7 @@ def make_image_renderer(cfg: Config, query_fn: Optional[QueryFn] = None):
     """Returns render_fn(params_coarse, params_fine, rays_o [N,3], rays_d [N,3])
     -> dict(rgb [N,3], ins [N,ins_num], depth [N]), jit-compiled once per ray count."""
     if query_fn is None:
-        query_fn = make_xla_query_fn(cfg.multires, cfg.multires_views, cfg.netdepth, tuple(cfg.skips))
+        query_fn = make_query_fn(cfg)
     chunk = cfg.N_test
     z_coarse = z_val_sample(chunk, cfg.near, cfg.far, cfg.N_samples)
 

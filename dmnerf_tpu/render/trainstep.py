@@ -34,7 +34,7 @@ import optax
 
 from dmnerf_tpu.configs import Config
 from dmnerf_tpu.core.mlp import init_dm_nerf
-from dmnerf_tpu.core.pipeline import QueryFn, make_xla_query_fn, render_rays
+from dmnerf_tpu.core.pipeline import QueryFn, make_query_fn, render_rays
 from dmnerf_tpu.core.sampling import z_val_sample
 from dmnerf_tpu.objfield.losses import img2mse, ins_criterion, mse2psnr
 from dmnerf_tpu.objfield.penalizer import ins_penalizer
@@ -141,7 +141,7 @@ def make_train_step(
     jit=False returns the untraced function so callers (parallel.mesh) can re-jit it
     with explicit mesh shardings."""
     if query_fn is None:
-        query_fn = make_xla_query_fn(cfg.multires, cfg.multires_views, cfg.netdepth, tuple(cfg.skips))
+        query_fn = make_query_fn(cfg)
     optimizer = make_optimizer(cfg)
     n_rays = cfg.N_train
     z_coarse_base = z_val_sample(n_rays, cfg.near, cfg.far, cfg.N_samples)
