@@ -99,6 +99,14 @@ class Config:
     data_axis: int = 1            # number of devices on the ray-sharded 'data' mesh axis
     checkpoint_every: int = 10000
     resume: bool = True           # train resume (capability superset; reference never resumes)
+    debug_nans: bool = False      # opt-in sanitizer: jax_debug_nans (SURVEY §5; the
+                                  # reference left torch detect_anomaly always-on)
+    profile_dir: Optional[str] = None  # write a jax.profiler trace of a few train
+                                       # steps here (xprof/tensorboard-compatible)
+    profile_start: int = 10       # first profiled step (post-compile)
+    profile_steps: int = 5        # number of steps in the trace window
+    multihost: bool = False       # call jax.distributed.initialize() before mesh
+                                  # creation (also via $DMNERF_MULTIHOST=1)
 
     def __post_init__(self):
         # The reference ships tolerance/deta_w with default=None (config.py:110-112) and

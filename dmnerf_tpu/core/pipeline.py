@@ -64,7 +64,8 @@ def make_query_fn(cfg, mesh=None) -> QueryFn:
     if mesh is not None:
         platform = next(iter(mesh.devices.flat)).platform
     elif _dev is not None:
-        platform = _dev.platform
+        # jax_default_device accepts a Device object or a platform string
+        platform = _dev if isinstance(_dev, str) else _dev.platform
     else:
         platform = _jax.default_backend()
     if cfg.use_pallas and cfg.i_embed == 0 and cfg.multires > 0 and cfg.multires_views > 0 \

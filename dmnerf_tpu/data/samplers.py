@@ -74,8 +74,9 @@ def make_crop_sampler(
     n_ins = int(n_train * 0.3)
     n_rgb = n_train - n_ins
 
-    # pad per-image labeled ids to a static [T, L] table + validity counts
-    L = max(len(ix) for ix in ins_indices)
+    # pad per-image labeled ids to a static [T, L] table + validity counts;
+    # L >= n_ins so top_k stays valid even when every image is under-labeled
+    L = max(max(len(ix) for ix in ins_indices), n_ins)
     table = np.zeros((len(ins_indices), L), np.int32)
     counts = np.zeros((len(ins_indices),), np.int32)
     for i, ix in enumerate(ins_indices):
@@ -99,6 +100,11 @@ def make_crop_sampler(
         scores = jax.random.uniform(k_lab, (L,)) + jnp.where(valid, 0.0, -1e9)
         _, top = jax.lax.top_k(scores, n_ins)
         labeled = table[t][top]
+        # slots past counts[t] are padding (image has < n_ins labeled pixels);
+        # they resolve to pixel table[t][...]=0 and must NOT enter the instance
+        # loss — the mask reaches compute_losses via Batch.target_valid (the
+        # static-shape analog of the reference's dynamic clamp, helpers.py:64-67)
+        labeled_valid = valid[top]
 
         # rgb pixels: uniform over the crop region (without replacement)
         rgb_ids = jax.random.choice(k_rgb, crop_flat, (n_rgb,), replace=False)
@@ -109,6 +115,7 @@ def make_crop_sampler(
         rays_o, rays_d = rays_for_pixels(py, px, K, c2w)
         target_c = images[img_i][py, px]
         target_i = labels[img_i][py, px]
-        return Batch(rays_o, rays_d, target_c, target_i)
+        target_valid = jnp.concatenate([jnp.ones((n_rgb,), bool), labeled_valid])
+        return Batch(rays_o, rays_d, target_c, target_i, target_valid)
 
     return sample, n_ins

@@ -35,54 +35,72 @@ def mse2psnr(mse: jnp.ndarray) -> jnp.ndarray:
     return -10.0 * jnp.log(mse) / jnp.log(10.0)
 
 
-def compact_one_hot(gt_labels: jnp.ndarray, ins_num: int) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+def compact_one_hot(gt_labels: jnp.ndarray, ins_num: int, ray_mask=None) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Static-shape equivalent of the reference's unique+one_hot compaction
     (evaluator.py:21-25).
 
     Returns (gt_ins [N, ins_num], valid_ins_num scalar, present [ins_num] bool).
     Column j of gt_ins is the mask of the j-th smallest label present in gt_labels;
-    columns >= valid_ins_num are zero.
+    columns >= valid_ins_num are zero. ray_mask [N] bool excludes padded rays (the
+    crop sampler's under-labeled slots) from presence counting and from gt_ins rows.
     """
     gt_labels = gt_labels.astype(jnp.int32)
-    present = jnp.zeros((ins_num,), bool).at[gt_labels].set(True)
+    if ray_mask is None:
+        present = jnp.zeros((ins_num,), bool).at[gt_labels].set(True)
+    else:
+        present = jnp.zeros((ins_num,), bool).at[gt_labels].max(ray_mask.astype(bool))
     valid_ins_num = jnp.sum(present).astype(jnp.int32)
     rank = jnp.cumsum(present.astype(jnp.int32)) - 1          # rank of each present label
     gt_compact = rank[gt_labels]                               # [N], in [0, valid)
     gt_ins = jax.nn.one_hot(gt_compact, ins_num, dtype=jnp.float32)
+    if ray_mask is not None:
+        gt_ins = gt_ins * ray_mask.astype(gt_ins.dtype)[:, None]
     return gt_ins, valid_ins_num, present
 
 
-def pairwise_costs(pred_ins: jnp.ndarray, gt_ins: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+def pairwise_costs(pred_ins: jnp.ndarray, gt_ins: jnp.ndarray, ray_mask=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """cost_ce[i, j] = mean_n BCE(pred[:, j]; gt[:, i]);
-    cost_siou[i, j] = 1 - TP/(TP+FP+FN+1e-6).  (evaluator.py:54-68)"""
-    n = pred_ins.shape[0]
+    cost_siou[i, j] = 1 - TP/(TP+FP+FN+1e-6).  (evaluator.py:54-68)
+    ray_mask [N] excludes padded rays from all sums and from the BCE mean."""
+    if ray_mask is None:
+        w = None
+        n = jnp.asarray(pred_ins.shape[0], jnp.float32)
+    else:
+        w = ray_mask.astype(jnp.float32)
+        n = jnp.maximum(jnp.sum(w), 1.0)
     # clamped (not `x + 1e-8`): XLA reassociates `1 - p + 1e-8` to `1 - p` in f32,
     # so a saturated sigmoid gives log(0) = -inf and 0·inf = NaN under jit — see the
     # identical pattern and full explanation in objfield/penalizer.py.
     log_p = jnp.log(jnp.maximum(pred_ins, 1e-8))
     log_1p = jnp.log(jnp.maximum(1.0 - pred_ins, 1e-8))
-    gt_t = gt_ins.T  # [C, N]
+    gt_t = gt_ins.T  # [C, N]  (rows of masked rays are already zero)
+    not_gt_t = (1.0 - gt_t) if w is None else (1.0 - gt_t) * w[None, :]
     cost_ce = -(
         jnp.dot(gt_t, log_p, preferred_element_type=jnp.float32)
-        + jnp.dot(1.0 - gt_t, log_1p, preferred_element_type=jnp.float32)
+        + jnp.dot(not_gt_t, log_1p, preferred_element_type=jnp.float32)
     ) / n
-    tp = jnp.dot(gt_t, pred_ins, preferred_element_type=jnp.float32)   # [C, C]
-    pred_sum = jnp.sum(pred_ins, axis=0)[None, :]
+    pred_w = pred_ins if w is None else pred_ins * w[:, None]
+    tp = jnp.dot(gt_t, pred_w, preferred_element_type=jnp.float32)   # [C, C]
+    pred_sum = jnp.sum(pred_w, axis=0)[None, :]
     gt_sum = jnp.sum(gt_ins, axis=0)[:, None]
     siou = tp / (tp + (pred_sum - tp) + (gt_sum - tp) + 1e-6)
     return cost_ce, 1.0 - siou
 
 
-def ins_criterion(pred_ins: jnp.ndarray, gt_labels: jnp.ndarray, ins_num: int):
+def ins_criterion(pred_ins: jnp.ndarray, gt_labels: jnp.ndarray, ins_num: int,
+                  ray_mask=None):
     """pred_ins: [N, ins_num] sigmoid-composited instance probabilities (air dropped);
     gt_labels: [N] int labels in [0, ins_num).
 
     Returns (total, valid_ce, invalid_ce, valid_siou) exactly as the reference
-    (evaluator.py:27-37).
+    (evaluator.py:27-37). ray_mask [N] bool marks rays that actually carry
+    supervision; padded rays (crop sampler with fewer labeled pixels than N_ins)
+    are excluded from every mean — equivalent to the reference's dynamic
+    N_ins = min(int(N_train*0.3), len(ins_index)) clamp (helpers.py:64-67).
     """
     C = ins_num
-    gt_ins, valid, _ = compact_one_hot(gt_labels, C)
-    cost_ce, cost_siou = pairwise_costs(pred_ins, gt_ins)
+    gt_ins, valid, _ = compact_one_hot(gt_labels, C, ray_mask)
+    cost_ce, cost_siou = pairwise_costs(pred_ins, gt_ins, ray_mask)
     col4row = masked_assignment(jax.lax.stop_gradient(cost_ce + cost_siou), valid)
 
     rows = jnp.arange(C)
@@ -97,7 +115,11 @@ def ins_criterion(pred_ins: jnp.ndarray, gt_labels: jnp.ndarray, ins_num: int):
     matched_col = jnp.zeros((C,), pred_ins.dtype).at[col4row].max(valid_mask)
     invalid_col = 1.0 - matched_col
     n_invalid = jnp.sum(invalid_col)
-    col_mean_pred = jnp.mean(pred_ins, axis=0)
+    if ray_mask is None:
+        col_mean_pred = jnp.mean(pred_ins, axis=0)
+    else:
+        w = ray_mask.astype(pred_ins.dtype)
+        col_mean_pred = jnp.sum(pred_ins * w[:, None], axis=0) / jnp.maximum(jnp.sum(w), 1.0)
     invalid_ce = jnp.sum(col_mean_pred * invalid_col) / jnp.maximum(n_invalid, 1.0)
 
     total = valid_ce + invalid_ce + valid_siou

@@ -43,7 +43,7 @@ def make_mesh(n_devices: Optional[int] = None, devices: Optional[Sequence] = Non
 
 def shard_batch(mesh: Mesh, batch: Batch) -> Batch:
     sh = NamedSharding(mesh, P("data"))
-    return Batch(*(jax.device_put(x, sh) for x in batch))
+    return Batch(*(None if x is None else jax.device_put(x, sh) for x in batch))
 
 
 def make_sharded_train_step(cfg: Config, mesh: Mesh, query_fn=None, N_ins=None):
@@ -65,7 +65,10 @@ def make_sharded_train_step(cfg: Config, mesh: Mesh, query_fn=None, N_ins=None):
 
     data = NamedSharding(mesh, P("data"))
     repl = NamedSharding(mesh, P())
-    batch_sh = Batch(rays_o=data, rays_d=data, target_c=data, target_i=data)
+    # the crop sampler (the only producer of target_valid) is always paired with
+    # an N_ins labeled suffix, so key the mask sharding off that
+    batch_sh = Batch(rays_o=data, rays_d=data, target_c=data, target_i=data,
+                     target_valid=data if N_ins is not None else None)
 
     # pytree-prefix shardings: `repl` broadcasts over the whole TrainState / aux trees
     return jax.jit(

@@ -106,7 +106,10 @@ def render_test(
                     str(int(m)): int(g) for m, g in zip(matched, valid_gt_labels) if m != -1
                 }
             else:
-                pred_label = -1 * np.ones((H, W))
+                # shaped like the (possibly cropped) rendered label plane — the
+                # reference hardcodes (H, W) here which breaks the crop path
+                # (tester.py:111, documented drift; our policy is to fix drift)
+                pred_label = -1 * np.ones(gt_label.shape, dtype=np.int64)
                 ap = [1.0] * 6
             full_map[i] = ins_map
             aps.append(ap)

@@ -73,6 +73,10 @@ def manipulator_eval(
 
     run = make_manipulator_renderer(cfg, n_targets=1)
     psnrs, ssims, lpipses, aps, full_map = [], [], [], [], {}
+    # stochastic importance sampling like the reference (sample_pdf det=False,
+    # manipulator.py:148,170,187); fixed base seed for reproducible eval runs
+    import jax
+    base_key = jax.random.PRNGKey(0)
 
     for i, ori_pose in enumerate(np.asarray(ori_poses)):
         t0 = time.time()
@@ -81,7 +85,8 @@ def manipulator_eval(
         tar_o, tar_d = _flat_rays(H, W, K, tar_pose)
 
         out = run(params_coarse, params_fine, ori_o, ori_d,
-                  tar_o[None], tar_d[None], (int(target_label),))
+                  tar_o[None], tar_d[None], (int(target_label),),
+                  key=jax.random.fold_in(base_key, i))
         rgb = np.asarray(out["rgb"]).reshape(H, W, 3)
         ins = np.asarray(out["ins"]).reshape(H, W, -1)   # air channel kept
         tar_rgb = np.asarray(out["tar_rgb"]).reshape(H, W, 3)
@@ -102,7 +107,7 @@ def manipulator_eval(
                 )
                 ins_map = {str(int(m)): int(g) for m, g in zip(matched, valid_gt_labels) if m != -1}
             else:
-                pred_label, ap = -np.ones((H, W)), [1.0] * 6
+                pred_label, ap = -np.ones(gt_label.shape, dtype=np.int64), [1.0] * 6
             full_map[i] = ins_map
             aps.append(ap)
             print(f"[mani_eval] view {i}: PSNR {psnrs[-1]:.3f} AP {ap}")
@@ -155,6 +160,8 @@ def manipulator_demo(
 
     n_obj = len(objs)
     run = make_manipulator_renderer(cfg, n_targets=n_obj)
+    import jax
+    base_key = jax.random.PRNGKey(0)
 
     for i, ori_pose in enumerate(np.asarray(view_poses)):
         t0 = time.time()
@@ -177,7 +184,8 @@ def manipulator_demo(
                 tar_ds.append(td)
 
         out = run(params_coarse, params_fine, ori_o, ori_d,
-                  jnp.stack(tar_os), jnp.stack(tar_ds), tuple(labels))
+                  jnp.stack(tar_os), jnp.stack(tar_ds), tuple(labels),
+                  key=jax.random.fold_in(base_key, i))
         rgb = np.asarray(out["rgb"]).reshape(H, W, 3)
         ins = np.asarray(out["ins"]).reshape(H, W, -1)
         label = np.argmax(ins, axis=-1)

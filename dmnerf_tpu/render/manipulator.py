@@ -189,7 +189,11 @@ def make_manipulator_renderer(cfg: Config, n_targets: int, query_fn: Optional[Qu
     import functools
 
     @functools.partial(jax.jit, static_argnums=(6,))
-    def run(params_coarse, params_fine, ori_o, ori_d, tar_o, tar_d, move_labels):
+    def run(params_coarse, params_fine, ori_o, ori_d, tar_o, tar_d, move_labels, key=None):
+        """key=None reproduces det=True inverse-CDF sampling (linspace u);
+        a PRNG key gives the reference's production behavior — its manipulator
+        calls sample_pdf with the default det=False (reference
+        manipulator.py:148,170,187 + helpers.py:123) — with per-chunk subkeys."""
         n = ori_o.shape[0]
         pad = (-n) % chunk
 
@@ -205,18 +209,20 @@ def make_manipulator_renderer(cfg: Config, n_targets: int, query_fn: Optional[Qu
         ori_d_c = ori_d_p.reshape(nc, chunk, 3)
         tar_o_c = tar_o_p.reshape(n_targets, nc, chunk, 3).transpose(1, 0, 2, 3)
         tar_d_c = tar_d_p.reshape(n_targets, nc, chunk, 3).transpose(1, 0, 2, 3)
+        chunk_keys = None if key is None else jax.random.split(key, nc)
 
         def one_chunk(args):
-            oo, od, to, td = args
+            oo, od, to, td, ck = args
             od = jnp.where(jnp.sum(od * od, -1, keepdims=True) > 0, od, jnp.ones_like(od))
             td = jnp.where(jnp.sum(td * td, -1, keepdims=True) > 0, td, jnp.ones_like(td))
             out = manipulate_rays(
                 cfg, params_coarse, params_fine, (oo, od),
                 [(to[k], td[k]) for k in range(n_targets)], move_labels, query_fn,
+                key=ck,
             )
             return {"rgb": out["rgb"], "ins": out["ins"], "tar_rgb": out["tar_rgb"]}
 
-        out = jax.lax.map(one_chunk, (ori_o_c, ori_d_c, tar_o_c, tar_d_c))
+        out = jax.lax.map(one_chunk, (ori_o_c, ori_d_c, tar_o_c, tar_d_c, chunk_keys))
         return {k: v.reshape(-1, v.shape[-1])[:n] for k, v in out.items()}
 
     return run

@@ -52,6 +52,11 @@ class Batch(NamedTuple):
     rays_d: jnp.ndarray    # [N, 3]
     target_c: jnp.ndarray  # [N, 3]
     target_i: jnp.ndarray  # [N] int (ScanNet: only the last N_ins entries are valid)
+    target_valid: Optional[jnp.ndarray] = None  # [N] bool; None = all rays supervised.
+    # Carries the crop sampler's padding mask: when an image has fewer labeled
+    # pixels than N_ins, the padded suffix slots must not enter the instance loss
+    # (reference clamps N_ins dynamically, helpers.py:64-67; we mask instead to
+    # keep the step shape-static).
 
 
 def lr_at_step(cfg: Config, step) -> jnp.ndarray:
@@ -98,11 +103,13 @@ def compute_losses(
         ins_coarse = info["ins_coarse"][-N_ins:]
         ins_fine = info["ins_fine"][-N_ins:]
         target_i = batch.target_i[-N_ins:]
+        ray_mask = None if batch.target_valid is None else batch.target_valid[-N_ins:]
     else:
         ins_coarse, ins_fine, target_i = info["ins_coarse"], info["ins_fine"], batch.target_i
+        ray_mask = batch.target_valid
 
-    ins_loss_coarse, vce_c, ice_c, vsiou_c = ins_criterion(ins_coarse, target_i, cfg.ins_num)
-    ins_loss_fine, vce_f, ice_f, vsiou_f = ins_criterion(ins_fine, target_i, cfg.ins_num)
+    ins_loss_coarse, vce_c, ice_c, vsiou_c = ins_criterion(ins_coarse, target_i, cfg.ins_num, ray_mask)
+    ins_loss_fine, vce_f, ice_f, vsiou_f = ins_criterion(ins_fine, target_i, cfg.ins_num, ray_mask)
 
     total = rgb_loss_coarse + rgb_loss_fine + ins_loss_coarse + ins_loss_fine
     emptiness = jnp.zeros((), total.dtype)

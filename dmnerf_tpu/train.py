@@ -79,6 +79,15 @@ def train(cfg: Config, scene: SceneData | None = None) -> None:
     from dmnerf_tpu.utils.cache import enable_persistent_cache
 
     enable_persistent_cache()
+    # multi-host entry (SURVEY §5 distributed backend): one process per host; the
+    # GSPMD mesh then spans the global device set and gradient psums ride ICI
+    # within a slice / DCN across hosts. Single-host runs skip this entirely.
+    if cfg.multihost or os.environ.get("DMNERF_MULTIHOST", "") == "1":
+        jax.distributed.initialize()
+        print(f"[train] multi-host: process {jax.process_index()}/{jax.process_count()}, "
+              f"{len(jax.devices())} global devices")
+    if cfg.debug_nans:
+        jax.config.update("jax_debug_nans", True)
     if scene is None:
         scene = load_scene(cfg)
     cfg = cfg.replace(ins_num=scene.ins_num)
@@ -105,7 +114,18 @@ def train(cfg: Config, scene: SceneData | None = None) -> None:
     start = int(state.step)
     t_last = time.time()
     rays_done = 0
+    profiling = False
     for i in range(start, cfg.N_iters):
+        if cfg.profile_dir is not None:
+            # xprof-compatible trace of a short post-compile step window (SURVEY §5)
+            if i == cfg.profile_start:
+                jax.profiler.start_trace(cfg.profile_dir)
+                profiling = True
+            elif profiling and i == cfg.profile_start + cfg.profile_steps:
+                jax.block_until_ready(state.params_fine)
+                jax.profiler.stop_trace()
+                profiling = False
+                print(f"[train] wrote profiler trace to {cfg.profile_dir}")
         key, k_batch, k_step = jax.random.split(key, 3)
         batch = sampler(k_batch)
         state, aux = step_fn(state, batch, k_step)
@@ -139,6 +159,9 @@ def train(cfg: Config, scene: SceneData | None = None) -> None:
                 ins_rgbs=scene.ins_rgbs, savedir=savedir, crop_mask=scene.crop_mask,
             )
 
+    if profiling:
+        jax.block_until_ready(state.params_fine)
+        jax.profiler.stop_trace()
     save_checkpoint(log_dir, state)
     logger.close()
 

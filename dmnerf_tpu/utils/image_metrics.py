@@ -97,8 +97,10 @@ def lpips_np(img: np.ndarray, gt: np.ndarray) -> float:
     import jax.numpy as jnp
 
     def features(x):
-        # lpips scaling: [0,1] -> [-1,1] -> channel-normalized
-        x = x * 2.0 - 1.0
+        # Scaling layer only — NO [0,1]->[-1,1] remap: the reference calls
+        # lpips_vgg(rgb, gt) on [0,1] images without normalize=True
+        # (/root/reference/networks/tester.py:93), so the published metric is
+        # LPIPS-with-[0,1]-inputs. We reproduce that behavior for metric parity.
         x = (x - _SHIFT) / _SCALE
         taps = []
         conv_i = 0

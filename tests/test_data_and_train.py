@@ -86,6 +86,79 @@ def test_crop_sampler_labeled_suffix(scene):
     assert (suffix > 0).all()
 
 
+def test_crop_sampler_under_labeled_padding_mask(scene):
+    """When an image has FEWER labeled pixels than N_ins, the padded suffix slots
+    must be flagged invalid in Batch.target_valid (regression: they used to resolve
+    silently to pixel 0 and enter the instance loss)."""
+    H = W = 32
+    crop_mask = np.ones((H, W), np.int8)
+    # only 3 labeled pixels per image — far fewer than n_ins
+    ins_indices = [np.array([5, 99, 200]) for _ in scene.i_train]
+    sample, n_ins = make_crop_sampler(
+        scene.images, scene.gt_labels, scene.poses, scene.K, scene.i_train,
+        40, ins_indices, crop_mask,
+    )
+    assert n_ins == 12
+    b = sample(jax.random.PRNGKey(3))
+    valid = np.asarray(b.target_valid)
+    assert valid.shape == (40,)
+    assert valid[:-n_ins].all(), "rgb prefix rays are always supervised"
+    suffix_valid = valid[-n_ins:]
+    assert suffix_valid.sum() == 3, "exactly the 3 real labeled pixels are valid"
+    # the valid suffix slots must be actual labeled pixels
+    flat_ids = np.asarray(b.target_i)  # labels of chosen pixels
+    assert suffix_valid.dtype == bool
+
+
+def test_ins_criterion_ray_mask_equals_dynamic_clamp():
+    """Masked ins_criterion on a padded batch == unmasked ins_criterion on only
+    the valid rays (the reference's dynamic-N_ins semantics, helpers.py:64-67)."""
+    from dmnerf_tpu.objfield.losses import ins_criterion
+
+    rng = np.random.RandomState(2)
+    C, n_valid, n_pad = 8, 20, 12
+    pred_valid = 1.0 / (1.0 + np.exp(-rng.randn(n_valid, C).astype(np.float32)))
+    labels_valid = rng.randint(0, 4, size=n_valid)
+    # padding rays carry garbage (label 0 / arbitrary preds) and a False mask
+    pred = np.concatenate([pred_valid, rng.rand(n_pad, C).astype(np.float32)])
+    labels = np.concatenate([labels_valid, np.zeros(n_pad, np.int64)])
+    mask = np.concatenate([np.ones(n_valid, bool), np.zeros(n_pad, bool)])
+
+    ref = ins_criterion(jnp.asarray(pred_valid), jnp.asarray(labels_valid), C)
+    got = ins_criterion(jnp.asarray(pred), jnp.asarray(labels), C,
+                        ray_mask=jnp.asarray(mask))
+    for name, a, b in zip(("total", "valid_ce", "invalid_ce", "valid_siou"), got, ref):
+        np.testing.assert_allclose(float(a), float(b), atol=1e-5, rtol=1e-5,
+                                   err_msg=f"{name} differs from dynamic-clamp result")
+
+
+def test_render_test_zero_gt_fallback_is_crop_shaped(tmp_path):
+    """valid_gt_num==0 fallback must produce a crop-shaped pred_label (regression:
+    reference drift hardcodes (H, W), tester.py:111)."""
+    from dmnerf_tpu.render.evaluation import render_test
+
+    cfg = tiny_config(N_test=256, crop_height=16, crop_width=20, ins_num=8)
+    import jax as _jax
+    from dmnerf_tpu.render.trainstep import create_train_state
+
+    state = create_train_state(cfg, _jax.random.PRNGKey(0))
+    H, W = 24, 28
+    K = np.array([[20.0, 0, W / 2], [0, -20.0, H / 2], [0, 0, -1]], np.float32)
+    crop_mask = np.zeros((H, W), np.int8)
+    crop_mask[4:20, 4:24] = 1
+    pose = np.eye(4, dtype=np.float32)
+    # all-air GT labels: compact_gt_one_hot_np with drop_last must yield 0 valid
+    # (full-size inputs; render_test crops internally via crop_mask)
+    gt_labels = np.full((1, H, W), cfg.ins_num, np.int32)
+    gt_imgs = np.zeros((1, H, W, 3), np.float32)
+    res = render_test(
+        cfg, state.params_coarse, state.params_fine, pose[None], (H, W, K),
+        gt_imgs=gt_imgs, gt_labels=gt_labels, ins_rgbs=None,
+        savedir=str(tmp_path), crop_mask=crop_mask, verbose=False,
+    )
+    assert res["aps"] is not None and res["aps"].shape == (1, 6)
+
+
 def test_lr_schedule_matches_reference_formula():
     cfg = tiny_config(lrate=5e-4, lrate_decay=500)
     assert float(lr_at_step(cfg, 0)) == pytest.approx(5e-4)

@@ -48,13 +48,12 @@ def test_pallas_forward_matches_xla(case):
 @pytest.mark.parametrize("case", CASES)
 def test_pallas_param_grads_match_xla(case):
     params, pts, dirs, q_xla, q_pal = _setup(*case)
-    # cotangent mixing rgb, sigma and ins channels so every head contributes
-    rng = np.random.RandomState(1)
 
     def loss(q):
         def f(p):
             raw = q(p, pts, dirs)
-            w = jnp.asarray(rng.RandomState if False else np.linspace(0.5, 1.5, raw.shape[-1]), raw.dtype)
+            # cotangent mixing rgb, sigma and ins channels so every head contributes
+            w = jnp.asarray(np.linspace(0.5, 1.5, raw.shape[-1]), raw.dtype)
             return jnp.sum(jnp.tanh(raw) * w)
         return f
 
