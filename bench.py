@@ -1,18 +1,32 @@
-"""Benchmark: training-step throughput (rays/s) on the flagship DM-SR config.
+"""Benchmark harness: train + render throughput, fp32 + bf16, MFU, kernel parity.
 
-Prints ONE JSON line:
-  {"metric": "train_rays_per_sec", "value": N, "unit": "rays/s", "vs_baseline": R}
+Prints ONE JSON line with the headline metric plus a detail block:
+  {"metric": "train_rays_per_sec", "value": N, "unit": "rays/s", "vs_baseline": R,
+   "detail": {"train_fp32": {...}, "train_bf16": {...}, "render_fp32": {...},
+              "render_bf16": {...}, "mfu": {...}, "kernel_parity": {...}}}
 
 Config matches the reference's training schedule (BASELINE.md): 3072 rays/step,
 64 coarse + 128 fine samples/ray, ins_num=32, Hungarian instance loss + emptiness
-penalizer, Adam — the full fused train step, forward+backward+update.
+penalizer, Adam — the full fused train step, forward+backward+update. The render
+bench sweeps a 256x256 image through the chunked image renderer (the tester path,
+reference networks/tester.py:62-76).
 
-vs_baseline: the reference repo publishes NO numbers (BASELINE.md), so the denominator
-is MEASURED by running the actual PyTorch reference implementation (mounted read-only
-at /root/reference, imported in-place, never copied) on the same host with the same
-batch geometry. Only CPU torch is available here, so the ratio is TPU-chip vs
-host-CPU; the measurement is cached in .bench_baseline.json. All diagnostics go to
-stderr; stdout carries exactly the one JSON line.
+vs_baseline: the reference repo publishes NO numbers (BASELINE.md), so the
+denominator is MEASURED by running the actual PyTorch reference implementation
+(mounted read-only at /root/reference, imported in-place, never copied) on the same
+host with the same batch geometry. Only CPU torch is available here, so the ratio is
+TPU-chip vs host-CPU — recorded as such in the detail block (denominator_kind), NOT
+presented as a GPU comparison. The measurement is cached in .bench_baseline.json.
+
+MFU: analytic matmul FLOPs (PE/compositor/losses excluded — a strict lower bound on
+real work) against the chip's published dense-bf16 peak. See docs/PERF.md for the
+roofline discussion. bf16 numbers carry a parity gate: 5 train steps from identical
+init must stay within 1 dB fine-PSNR of fp32.
+
+Kernel parity (--kernel-parity also runs by default on TPU): the COMPILED Pallas
+fused PE+MLP kernel vs the XLA path at the flagship fine-pass shape, max|Δ| gated.
+
+All diagnostics go to stderr; stdout carries exactly the one JSON line.
 """
 
 from __future__ import annotations
@@ -33,40 +47,80 @@ N_IMPORTANCE = 128
 INS_NUM = 32
 WARMUP = 3
 ITERS = 20
+RENDER_H = RENDER_W = 256
+RENDER_REPS = 3
+
+# published dense peak FLOP/s by device kind (bf16 MXU). fp32 on TPU runs through
+# the MXU at a fraction of bf16 (precision=HIGHEST uses multi-pass bf16); we report
+# achieved TFLOP/s plus MFU vs the bf16 peak for both, with the peak recorded.
+PEAK_BF16 = {
+    "TPU v4": 275e12,
+    "TPU v5 lite": 197e12,
+    "TPU v5": 459e12,
+    "TPU v5p": 459e12,
+    "TPU v6 lite": 918e12,
+    "TPU v6e": 918e12,
+}
 
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def bench_tpu() -> float:
-    import jax
-    import jax.numpy as jnp
-
-    from dmnerf_tpu.utils.cache import enable_persistent_cache
-
-    enable_persistent_cache()
-
+def _make_cfg(precision: str):
     from dmnerf_tpu.configs import Config
-    from dmnerf_tpu.render.trainstep import Batch, create_train_state, make_train_step
 
-    cfg = Config(
+    return Config(
         N_train=N_RAYS, N_samples=N_SAMPLES, N_importance=N_IMPORTANCE,
-        near=2.0, far=7.0, ins_num=INS_NUM, perturb=1.0,
-        penalize=True, tolerance=0.05, deta_w=0.05,
+        N_test=4096, near=2.0, far=7.0, ins_num=INS_NUM, perturb=1.0,
+        penalize=True, tolerance=0.05, deta_w=0.05, precision=precision,
     )
-    state = create_train_state(cfg, jax.random.PRNGKey(0))
-    step = make_train_step(cfg)
+
+
+def _make_batch():
+    import jax.numpy as jnp
+    from dmnerf_tpu.render.trainstep import Batch
 
     rng = np.random.RandomState(0)
     rays_d = rng.randn(N_RAYS, 3).astype(np.float32)
     rays_d[:, 2] = np.abs(rays_d[:, 2]) + 1.0
-    batch = Batch(
+    return Batch(
         rays_o=jnp.zeros((N_RAYS, 3), jnp.float32),
         rays_d=jnp.asarray(rays_d),
         target_c=jnp.asarray(rng.rand(N_RAYS, 3).astype(np.float32)),
         target_i=jnp.asarray(rng.randint(0, 8, size=N_RAYS)),
     )
+
+
+def analytic_matmul_flops(cfg) -> dict:
+    """Per-step matmul FLOPs (2*in*out per point), fwd and train(~3x fwd: dx+dW)."""
+    from dmnerf_tpu.core.embedding import embed_dim
+
+    D, W = cfg.netdepth, cfg.netwidth
+    cp, cv = embed_dim(cfg.multires), embed_dim(cfg.multires_views)
+    dims = []
+    in_dim = cp
+    for i in range(D):
+        dims.append((in_dim, W))
+        in_dim = W + cp if i in cfg.skips else W
+    dims += [(W, 1), (W, W), (W + cv, W // 2), (W // 2, 3),          # density + rgb head
+             (W, W), (W, W // 2), (W // 2, cfg.ins_num + 1)]          # ins head
+    per_point = 2 * sum(i * o for i, o in dims)
+    pts_coarse = N_RAYS * cfg.N_samples
+    pts_fine = N_RAYS * (cfg.N_samples + cfg.N_importance)
+    fwd = per_point * (pts_coarse + pts_fine)
+    return {"fwd_flops": fwd, "train_flops": 3 * fwd, "per_point_flops": per_point}
+
+
+def bench_train(precision: str) -> dict:
+    import jax
+
+    cfg = _make_cfg(precision)
+    from dmnerf_tpu.render.trainstep import create_train_state, make_train_step
+
+    state = create_train_state(cfg, jax.random.PRNGKey(0))
+    step = make_train_step(cfg)
+    batch = _make_batch()
     key = jax.random.PRNGKey(1)
     for _ in range(WARMUP):
         key, sub = jax.random.split(key)
@@ -79,10 +133,107 @@ def bench_tpu() -> float:
         state, aux = step(state, batch, sub)
     jax.block_until_ready(state.params_fine)
     dt = time.perf_counter() - t0
+    ms = dt / ITERS * 1e3
     rays_s = N_RAYS * ITERS / dt
-    log(f"[bench] tpu train step: {dt/ITERS*1e3:.2f} ms/step, {rays_s:,.0f} rays/s "
-        f"(loss {float(aux['total_loss']):.4f})")
-    return rays_s
+    psnr5 = _psnr_after_5_steps(cfg)
+    log(f"[bench] train {precision}: {ms:.2f} ms/step, {rays_s:,.0f} rays/s "
+        f"(loss {float(aux['total_loss']):.4f}, psnr@5 {psnr5:.2f})")
+    return {"ms_per_step": round(ms, 2), "rays_per_sec": round(rays_s, 1),
+            "loss": round(float(aux["total_loss"]), 4), "psnr_at_5_steps": round(psnr5, 3)}
+
+
+_PSNR5 = {}
+
+
+def _psnr_after_5_steps(cfg) -> float:
+    """Short fixed-schedule fine-PSNR probe: the bf16 parity gate compares this
+    against fp32 (identical PRNG keys and batch)."""
+    import jax
+
+    from dmnerf_tpu.render.trainstep import create_train_state, make_train_step
+
+    if cfg.precision in _PSNR5:
+        return _PSNR5[cfg.precision]
+    state = create_train_state(cfg, jax.random.PRNGKey(0))
+    step = make_train_step(cfg)
+    batch = _make_batch()
+    key = jax.random.PRNGKey(2)
+    for _ in range(5):
+        key, sub = jax.random.split(key)
+        state, aux = step(state, batch, sub)
+    _PSNR5[cfg.precision] = float(aux["psnr_fine"])
+    return _PSNR5[cfg.precision]
+
+
+def bench_render(precision: str) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    cfg = _make_cfg(precision)
+    from dmnerf_tpu.core.rays import rays_from_K
+    from dmnerf_tpu.render.renderer import make_image_renderer
+    from dmnerf_tpu.render.trainstep import create_train_state
+
+    state = create_train_state(cfg, jax.random.PRNGKey(0))
+    renderer = make_image_renderer(cfg)
+    K = jnp.asarray([[300.0, 0, RENDER_W / 2], [0, -300.0, RENDER_H / 2], [0, 0, -1.0]])
+    c2w = jnp.eye(4)
+    ro, rd = rays_from_K(RENDER_H, RENDER_W, K, c2w)
+    ro, rd = ro.reshape(-1, 3), rd.reshape(-1, 3)
+
+    out = renderer(state.params_coarse, state.params_fine, ro, rd)  # compile
+    jax.block_until_ready(out["rgb"])
+    t0 = time.perf_counter()
+    for _ in range(RENDER_REPS):
+        out = renderer(state.params_coarse, state.params_fine, ro, rd)
+    jax.block_until_ready(out["rgb"])
+    dt = (time.perf_counter() - t0) / RENDER_REPS
+    n_rays = RENDER_H * RENDER_W
+    log(f"[bench] render {precision}: {dt*1e3:.1f} ms/image ({RENDER_H}x{RENDER_W}), "
+        f"{n_rays/dt:,.0f} rays/s")
+    return {"ms_per_image": round(dt * 1e3, 1), "rays_per_sec": round(n_rays / dt, 1),
+            "image": f"{RENDER_H}x{RENDER_W}"}
+
+
+def bench_kernel_parity() -> dict:
+    """COMPILED Pallas fused kernel vs XLA path at the flagship fine-pass shape —
+    the on-chip regression net for grid/tiling bugs (interpret-mode CPU tests can't
+    see them). Also times both paths."""
+    import jax
+    import jax.numpy as jnp
+
+    from dmnerf_tpu.core.mlp import init_dm_nerf
+    from dmnerf_tpu.core.pipeline import make_xla_query_fn
+    from dmnerf_tpu.kernels.fused_mlp import make_pallas_query_fn
+
+    N, S = N_RAYS, N_SAMPLES + N_IMPORTANCE
+    params = init_dm_nerf(jax.random.PRNGKey(0), ins_num=INS_NUM)
+    rng = np.random.RandomState(0)
+    pts = jnp.asarray(rng.uniform(-3, 3, (N, S, 3)).astype(np.float32))
+    dirs = rng.randn(N, 3).astype(np.float32)
+    dirs = jnp.asarray(dirs / np.linalg.norm(dirs, axis=-1, keepdims=True))
+
+    q_xla = jax.jit(make_xla_query_fn())
+    q_pal = jax.jit(make_pallas_query_fn())
+    a = np.asarray(q_xla(params, pts, dirs))
+    b = np.asarray(q_pal(params, pts, dirs))
+    max_err = float(np.max(np.abs(a - b)))
+    scale = float(np.max(np.abs(a)))
+    ok = bool(max_err <= 5e-3 * max(scale, 1.0))
+
+    def _time(f):
+        f(params, pts, dirs).block_until_ready()
+        t0 = time.perf_counter()
+        for _ in range(10):
+            out = f(params, pts, dirs)
+        out.block_until_ready()
+        return (time.perf_counter() - t0) / 10 * 1e3
+
+    ms_xla, ms_pal = _time(q_xla), _time(q_pal)
+    log(f"[bench] kernel parity: max|Δ| {max_err:.2e} (scale {scale:.1f}) -> "
+        f"{'PASS' if ok else 'FAIL'}; fwd ms xla {ms_xla:.2f} pallas {ms_pal:.2f}")
+    return {"pass": ok, "max_abs_err": max_err, "out_scale": scale,
+            "fwd_ms_xla": round(ms_xla, 2), "fwd_ms_pallas": round(ms_pal, 2)}
 
 
 REF_RAYS = 512   # reference measured at a smaller ray count (cost is linear in rays;
@@ -156,7 +307,7 @@ def get_baseline() -> float:
             return json.load(f)["reference_cpu_rays_per_sec"]
     try:
         base = bench_reference_cpu()
-    except Exception as e:  # reference unavailable -> record the failure, use 1.0
+    except Exception as e:  # reference unavailable -> record the failure, use NaN
         log(f"[bench] reference measurement failed: {e!r}")
         base = float("nan")
     with open(CACHE, "w") as f:
@@ -167,14 +318,67 @@ def get_baseline() -> float:
 
 
 def main():
+    import jax
+
+    from dmnerf_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
+    kernel_only = "--kernel-parity" in sys.argv
+    platform = jax.devices()[0].platform
+    device_kind = jax.devices()[0].device_kind
+
+    if kernel_only:
+        res = bench_kernel_parity() if platform == "tpu" else {"pass": None,
+                                                               "skipped": "not on tpu"}
+        print(json.dumps({"metric": "kernel_parity_max_abs_err",
+                          "value": res.get("max_abs_err"),
+                          "unit": "abs", "vs_baseline": None, "detail": res}))
+        return
+
     baseline = get_baseline()
-    rays_s = bench_tpu()
+    detail = {"device_kind": device_kind, "denominator_kind": "reference torch on host CPU "
+              f"({REF_RAYS}-ray steps); no reference GPU available in this environment"}
+
+    detail["train_fp32"] = bench_train("float32")
+    detail["render_fp32"] = bench_render("float32")
+    try:
+        detail["train_bf16"] = bench_train("bfloat16")
+        detail["render_bf16"] = bench_render("bfloat16")
+        dpsnr = abs(detail["train_bf16"]["psnr_at_5_steps"]
+                    - detail["train_fp32"]["psnr_at_5_steps"])
+        detail["bf16_parity"] = {"dpsnr_at_5_steps": round(dpsnr, 3), "pass": bool(dpsnr < 1.0)}
+    except Exception as e:
+        detail["train_bf16"] = {"error": repr(e)}
+
+    flops = analytic_matmul_flops(_make_cfg("float32"))
+    peak = PEAK_BF16.get(device_kind)
+    mfu = {}
+    for k in ("train_fp32", "train_bf16"):
+        d = detail.get(k, {})
+        if "ms_per_step" in d:
+            achieved = flops["train_flops"] / (d["ms_per_step"] / 1e3)
+            mfu[k] = {"achieved_tflops": round(achieved / 1e12, 2),
+                      "mfu_vs_bf16_peak": round(achieved / peak, 4) if peak else None}
+    mfu["analytic_train_gflops_per_step"] = round(flops["train_flops"] / 1e9, 1)
+    mfu["peak_bf16_tflops"] = round(peak / 1e12, 0) if peak else None
+    mfu["note"] = "matmul FLOPs only (lower bound); see docs/PERF.md"
+    detail["mfu"] = mfu
+
+    if platform == "tpu":
+        try:
+            detail["kernel_parity"] = bench_kernel_parity()
+        except Exception as e:
+            detail["kernel_parity"] = {"pass": False, "error": repr(e)}
+
+    rays_s = detail["train_fp32"]["rays_per_sec"]
     vs = rays_s / baseline if baseline and np.isfinite(baseline) else None
     print(json.dumps({
         "metric": "train_rays_per_sec",
-        "value": round(rays_s, 1),
+        "value": rays_s,
         "unit": "rays/s",
         "vs_baseline": round(vs, 2) if vs is not None else None,
+        "detail": detail,
     }))
 
 

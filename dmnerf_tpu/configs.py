@@ -86,6 +86,11 @@ class Config:
     views: int = 720
     target_label: Optional[int] = None
 
+    # mesh extraction (reference hardcodes 256^3 and level 0.45,
+    # mesh_generator.py:27-28,69)
+    mesh_grid_dim: int = 256
+    mesh_level: float = 0.45
+
     # eval-mode switches  (reference config.py:61-64, 140-142)
     render: bool = False
     render_test: bool = False

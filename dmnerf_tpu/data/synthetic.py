@@ -156,6 +156,140 @@ def write_dmsr_scene(
     return spec
 
 
+def write_replica_scene(
+    out_dir: str,
+    H: int = 16,
+    W: int = 16,
+    n_objects: int = 3,
+    ins_num: int = 8,
+    seed: int = 0,
+    testskip: int = 10,
+    with_objs_info: bool = True,
+):
+    """Replica-format fixture tree (reference loader_replica.py:154-192 layout):
+    traj_w_c.txt (flat 4x4 rows), rgb/rgb_{i}.png, semantic_instance/
+    semantic_instance_{i}.png, ins_rgb.hdf5, objs_info.json.
+
+    The reference split is HARDCODED to ids range(0, 900, 5) for train and
+    train+2 for test, so the trajectory file carries 900 rows; image files are
+    written only for the ids the loader actually reads (train ids + the
+    testskip-subsampled test ids) to keep the fixture fast.
+    """
+    import h5py
+    import imageio.v2 as imageio
+
+    spec = default_spec(n_objects, seed)
+    focal = W / 2.0
+    # render with the blender-convention K (camera looks along -z, matching
+    # _look_at); the loader derives its own positive-convention K from focal=W/2
+    K_render = np.array([[focal, 0, W * 0.5], [0, -focal, H * 0.5], [0, 0, -1]], np.float32)
+
+    total, step = 900, 5
+    train_ids = list(range(0, total, step))
+    test_ids = [i + step // 2 for i in train_ids]
+    read_test_ids = test_ids[::max(testskip, 1)]
+
+    poses = np.zeros((total, 4, 4), np.float32)
+    radius = 4.0
+    for i in range(total):
+        ang = 2 * np.pi * i / total
+        eye = np.array([radius * np.cos(ang), radius * np.sin(ang), 1.6], np.float32)
+        poses[i] = _look_at(eye, np.zeros(3, np.float32))
+    os.makedirs(out_dir, exist_ok=True)
+    np.savetxt(os.path.join(out_dir, "traj_w_c.txt"), poses.reshape(total, 16), delimiter=" ")
+
+    rgb_dir = os.path.join(out_dir, "rgb")
+    ins_dir = os.path.join(out_dir, "semantic_instance")
+    os.makedirs(rgb_dir, exist_ok=True)
+    os.makedirs(ins_dir, exist_ok=True)
+    for i in sorted(set(train_ids) | set(read_test_ids)):
+        rgb, label = render_view(poses[i], H, W, K_render, spec)
+        imageio.imwrite(os.path.join(rgb_dir, f"rgb_{i}.png"), (rgb * 255).astype(np.uint8))
+        imageio.imwrite(os.path.join(ins_dir, f"semantic_instance_{i}.png"),
+                        label.astype(np.uint8))
+
+    rng = np.random.RandomState(seed + 1)
+    palette = rng.randint(0, 255, size=(ins_num, 3)).astype(np.uint8)
+    with h5py.File(os.path.join(out_dir, "ins_rgb.hdf5"), "w") as f:
+        f.create_dataset("datasets", data=palette)
+
+    if with_objs_info:
+        objs = [{"obj_name": f"sphere_{k}", "tar_id": k + 1, "mani_mode": "translation",
+                 "obj_center": spec["centers"][k].tolist(), "distance": [0.5]}
+                for k in range(n_objects)]
+        with open(os.path.join(out_dir, "objs_info.json"), "w") as f:
+            json.dump({"objects": objs, "view_id": 0,
+                       "ins_map": {str(k + 1): k + 1 for k in range(n_objects)}}, f)
+    return spec
+
+
+def write_scannet_scene(
+    out_dir: str,
+    n_train: int = 5,
+    n_test: int = 3,
+    H: int = 24,
+    W: int = 32,
+    n_objects: int = 3,
+    seed: int = 0,
+    unlabeled_frac: float = 0.5,
+):
+    """ScanNet-format fixture tree (reference loader_scannet.py:184-201 layout):
+    {split}_split_idx.txt, {split}/{split}_images/{i}.jpg,
+    {split}/{split}_pose/{i}.txt, {split}/{split}_ins/{i}.npz (ins_2d_label_id,
+    with -1 = unlabeled), intrinsic/intrinsic_{color,depth}.txt, ins_rgb.hdf5.
+
+    Labels use the raw ScanNet convention: -1 for unlabeled pixels, 0..L-1 for
+    instances; the loader remaps -1 -> ins_num (air). A fraction of labeled
+    pixels is dropped to -1 to exercise the weakly-supervised path.
+    """
+    import h5py
+    import imageio.v2 as imageio
+
+    spec = default_spec(n_objects, seed)
+    focal = float(W)
+    # loader-convention intrinsics (positive, ScanNet-style) in the files; the
+    # pixels are rendered with the blender-convention K that matches _look_at
+    K = np.array([[focal, 0, W * 0.5], [0, focal, H * 0.5], [0, 0, 1]], np.float32)
+    K_render = np.array([[focal, 0, W * 0.5], [0, -focal, H * 0.5], [0, 0, -1]], np.float32)
+    intr = np.eye(4, dtype=np.float32)
+    intr[:3, :3] = K
+    os.makedirs(os.path.join(out_dir, "intrinsic"), exist_ok=True)
+    np.savetxt(os.path.join(out_dir, "intrinsic", "intrinsic_color.txt"), intr)
+    np.savetxt(os.path.join(out_dir, "intrinsic", "intrinsic_depth.txt"), intr)
+
+    rng = np.random.RandomState(seed + 2)
+    radius = 4.0
+    frame = 0
+    for split, count in [("train", n_train), ("test", n_test)]:
+        ids = list(range(frame, frame + count))
+        frame += count
+        np.savetxt(os.path.join(out_dir, f"{split}_split_idx.txt"), np.asarray(ids, np.int32),
+                   fmt="%d")
+        img_dir = os.path.join(out_dir, split, f"{split}_images")
+        pose_dir = os.path.join(out_dir, split, f"{split}_pose")
+        ins_dir = os.path.join(out_dir, split, f"{split}_ins")
+        for d in (img_dir, pose_dir, ins_dir):
+            os.makedirs(d, exist_ok=True)
+        for i in ids:
+            ang = 2 * np.pi * i / (n_train + n_test)
+            eye = np.array([radius * np.cos(ang), radius * np.sin(ang), 1.6], np.float32)
+            c2w = _look_at(eye, np.zeros(3, np.float32))
+            rgb, label = render_view(c2w, H, W, K_render, spec)
+            # raw ScanNet labels: -1 unlabeled; object k -> label k-1; background
+            # pixels unlabeled, plus randomly dropped labeled pixels (weak labels)
+            raw = label.astype(np.int32) - 1
+            drop = rng.rand(H, W) < unlabeled_frac
+            raw[drop] = -1
+            imageio.imwrite(os.path.join(img_dir, f"{i}.jpg"), (rgb * 255).astype(np.uint8))
+            np.savetxt(os.path.join(pose_dir, f"{i}.txt"), c2w)
+            np.savez(os.path.join(ins_dir, f"{i}.npz"), ins_2d_label_id=raw)
+
+    palette = rng.randint(0, 255, size=(n_objects + 4, 3)).astype(np.uint8)
+    with h5py.File(os.path.join(out_dir, "ins_rgb.hdf5"), "w") as f:
+        f.create_dataset("datasets", data=palette)
+    return spec
+
+
 def _write_mani_gt(out_dir, spec, H, W, K, n_test, modes):
     """Manipulated-GT folders in the loader_dmsr_mani layout
     (indoor_{mode}_test/{rgbs, semantic_instance}); the GT is re-rendered with the

@@ -178,6 +178,21 @@ def _dot(a, b):
     return jnp.dot(a, b, preferred_element_type=jnp.float32)
 
 
+def _dot_exact(a, b):
+    """Full-precision matmul for the PE frequency products x @ F.
+
+    The MXU rounds inputs to bf16 at default precision; for coordinates |x|~3
+    that is an absolute error up to ~8e-3, which the 2^(multires-1) frequency
+    scaling turns into a MULTI-RADIAN phase error inside sin/cos (observed: 2e-2
+    output error vs the XLA path, compiled-mode only). F's entries are exact
+    powers of two, so HIGHEST precision on this tiny [T,3]x[3,F] product makes
+    the phase exact at negligible cost; trunk matmuls stay at default precision
+    (identical treatment to the XLA path)."""
+    return jax.lax.dot_general(a, b, (((a.ndim - 1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32,
+                               precision=jax.lax.Precision.HIGHEST)
+
+
 def _dot_tt(a, b):
     """a^T @ b contracting the leading (point) axis: [T,m]x[T,n] -> [m,n]."""
     return jax.lax.dot_general(a, b, (((0,), (0,)), ((), ())),
@@ -196,8 +211,9 @@ def _forward_core_fixed(x, d, Fp, Fd, wv, kinds):
     Layer 0's weight is packed split-style ([Wx, Ws, Wc, b], no h-part) regardless
     of `kinds`; see _pack0."""
     it = iter(wv)
-    sx, cx = jnp.sin(_dot(x, Fp)), jnp.cos(_dot(x, Fp))
-    sd, cd = jnp.sin(_dot(d, Fd)), jnp.cos(_dot(d, Fd))
+    xf, df = _dot_exact(x, Fp), _dot_exact(d, Fd)
+    sx, cx = jnp.sin(xf), jnp.cos(xf)
+    sd, cd = jnp.sin(df), jnp.cos(df)
 
     w0x, w0s, w0c, b0 = (next(it) for _ in range(4))
     h = jnp.maximum(_dot(x, w0x) + _dot(sx, w0s) + _dot(cx, w0c) + b0, 0.0)

@@ -78,9 +78,12 @@ def exchange(
         fillings = (ori_acc == move) & (ori_pred != move)
 
         tar_pred = _point_labels(tar_raw)
-        tar_pred_last = tar_pred
         tar_occl = (tar_pred == move) & (tar_acc != move)
         tar_pred = jnp.where(tar_occl, tar_acc, tar_pred)
+        # the reference's tar_pred_label_temp ALIASES the tensor mutated in place
+        # by the occlusion fix (manipulator.py:47,59) — the returned labels are
+        # the post-fix ones
+        tar_pred_last = tar_pred
 
         # reduced = tar_move(1) - ori_move(-2): 0 neither, 1 tar-only, 2 ori-only, 3 both
         reduced = (tar_pred == move).astype(jnp.int32) + 2 * (ori_pred == move).astype(jnp.int32)

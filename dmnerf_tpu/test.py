@@ -131,7 +131,8 @@ def run_test(cfg: Config) -> None:
         savedir = os.path.join(cfg.log_dir, f"mesh_{iteration:06d}")
         os.makedirs(savedir, exist_ok=True)
         mesh_main(cfg, state.params_coarse, state.params_fine, scene.ins_rgbs,
-                  savedir, ins_map=scene.ins_map, color_dict=color_dict)
+                  savedir, ins_map=scene.ins_map, color_dict=color_dict,
+                  grid_dim=cfg.mesh_grid_dim, level=cfg.mesh_level)
         print("Meshing Done", savedir)
     else:
         print("no eval mode selected (render / mani_eval / mani_demo / mesh)")

@@ -97,6 +97,7 @@ def mesh_main(
     grid_dim: int = GRID_DIM,
     extents: Optional[np.ndarray] = None,
     threshold: float = 0.2,
+    level: Optional[float] = None,
 ) -> str:
     import jax.numpy as jnp
 
@@ -125,7 +126,7 @@ def mesh_main(
     print(f"[mesh] fraction occupied: {(occ > threshold).mean():.4f} "
           f"max {occ.max():.3f} mean {occ.mean():.4f}")
 
-    verts, faces = marching_tetrahedra(occ, LEVEL)
+    verts, faces = marching_tetrahedra(occ, level if level is not None else LEVEL)
     if len(faces) == 0:
         print("[mesh] empty iso-surface; nothing to write")
         return save_dir

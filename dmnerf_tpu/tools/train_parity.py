@@ -286,8 +286,10 @@ def run_parity(n_iters: int, record_every: int, tmp_dir: str, seed: int = 0) -> 
     kwargs = dict(ins_num=scene.ins_num, D=D, W=W,
                   input_ch_pts=embed_dim(MULTIRES),
                   input_ch_views=embed_dim(MULTIRES_VIEWS), skips=SKIPS)
-    params_c = init_dm_nerf(kc, **kwargs)
-    params_f = init_dm_nerf(kf, **kwargs)
+    # snapshot to host numpy: the jitted train step donates its state buffers,
+    # which would invalidate the shared init before the reference side reads it
+    params_c = {k: np.asarray(v) for k, v in init_dm_nerf(kc, **kwargs).items()}
+    params_f = {k: np.asarray(v) for k, v in init_dm_nerf(kf, **kwargs).items()}
 
     record_at = set(range(record_every, n_iters + 1, record_every)) | {1, n_iters}
     batches = precompute_batches(scene, n_iters, seed)
