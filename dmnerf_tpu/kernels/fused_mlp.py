@@ -13,19 +13,39 @@ parameter pytree itself.
 Architecture parity is with dmnerf_tpu.core.mlp.dm_nerf_apply (itself cited to the
 reference /root/reference/networks/dm_nerf.py:58-106), including:
   * skip-concat of the embedded position after the ReLU of layer i in `skips`
-    (reference dm_nerf.py:89-91) — expressed as split matmuls, never as a concat;
+    (reference dm_nerf.py:89-91);
   * the instance head's gradient wall (reference dm_nerf.py:95) — the backward
     kernel simply never propagates the ins-head cotangent into the trunk, which IS
     stop_gradient by construction;
   * rgb/ins "feature" linears with no activation, hidden linears with ReLU.
 
-Kernel-native embedding layout. The reference interleaves [sin_f(xyz), cos_f(xyz)]
-per frequency (dm_nerf.py:24-43, core/embedding.py); in-kernel we compute
-xf = x @ F (one tiny matmul, F[c, f*3+c] = 2^f) and keep sin(xf) / cos(xf) as two
-frequency-major blocks. The affected weight rows (first trunk layer, the post-skip
-layer's emb part, the rgb hidden layer's view-dir part) are re-gathered once,
-outside the kernel, to match — outputs are numerically identical to the reference
-ordering.
+Kernel-native operand layout (v2 — one matmul per logical layer). The reference
+interleaves [sin_f(xyz), cos_f(xyz)] per frequency (dm_nerf.py:24-43,
+core/embedding.py); in-kernel we compute xf = x @ F (one tiny full-precision
+matmul, F[c, f*3+c] = 2^f) and build the embedding e = [x | sin(xf) | cos(xf)] as
+ONE lane-concat. Weight matrices are row-permuted once, OUTSIDE the kernel, into
+the same order, so every trunk layer is a single MXU contraction:
+
+  * layer 0:        e @ W0k                (W0k = W0[perm])
+  * skip layer i:   [h | e] @ Wik          (Wik = [W_h ; W_emb[perm]])
+  * rgb hidden:     [feat | ed] @ Wrhk
+  * the three head linears that read the trunk output (rgb_feature, ins_feature,
+    density — reference dm_nerf.py:74-76) are column-concatenated into ONE
+    [W, Wf+Wi+1] matmul; a lane slice splits the result.
+
+This matters on the MXU: a matmul with K=3 or K=30 costs a full 128-wide K block,
+so the previous split-operand layout (x/sin/cos as 3 matmuls) paid 3 MXU passes
+where one suffices — ~17% of all forward passes at the flagship topology.
+
+Activation cache dtype. On TPU, f32 matmuls at default precision round their
+inputs to bf16 inside the MXU, so storing the *cached* activations (backward
+rematerialization) in bf16 is numerically identical for every consumer that is a
+matmul input or a ReLU mask — and halves backward VMEM, unlocking 2x larger
+tiles.  Cotangents and accumulators stay f32.  `cache_dtype=None` resolves to
+bf16 compiled / f32 interpreted (CPU tests compare against the exact-f32 XLA
+path).  The PE frequency products x @ F keep HIGHEST precision regardless: the
+2^(multires-1) frequency scale amplifies bf16 input rounding into multi-radian
+sin/cos phase errors (observed 2e-2 output error, compiled mode only).
 
 Gradients to pts/viewdirs are structurally zero in every consumer (rays and z-vals
 are data or stop_gradient'ed: reference render.py:66-68), so the custom_vjp returns
@@ -47,11 +67,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 Params = Dict[str, jnp.ndarray]
 
+# packed-operand order after the trunk layers (head_w/b is the column-fused
+# [rgb_feat | ins_feat | density] linear)
 _HEAD_KEYS = [
-    "density_w", "density_b", "rgb_feat_w", "rgb_feat_b",
-    # rgb_hid_w is shipped split: feat rows, dir-identity rows, dir-sin, dir-cos
-    "rgb_hid_w:f", "rgb_hid_w:x", "rgb_hid_w:s", "rgb_hid_w:c", "rgb_hid_b",
-    "rgb_out_w", "rgb_out_b", "ins_feat_w", "ins_feat_b",
+    "head_w", "head_b",
+    "rgb_hid_w", "rgb_hid_b", "rgb_out_w", "rgb_out_b",
     "ins_hid_w", "ins_hid_b", "ins_out_w", "ins_out_b",
 ]
 
@@ -65,108 +85,110 @@ def _freq_matrix(multires: int, d: int = 3) -> np.ndarray:
     return F
 
 
-def _sin_rows(multires: int, d: int = 3) -> np.ndarray:
-    """Reference-embedding channel of kernel sin lane (f*d + c); reference order is
-    [x(d), sin_f0(d), cos_f0(d), sin_f1(d), ...] (core/embedding.py)."""
-    return np.asarray([d + f * 2 * d + c for f in range(multires) for c in range(d)], np.int32)
+def _emb_perm(multires: int, d: int = 3) -> np.ndarray:
+    """Permutation from reference embedding channel order
+    [x(d), sin_f0(d), cos_f0(d), sin_f1(d), ...] (core/embedding.py) to the kernel
+    order [x(d), sin lanes (freq-major), cos lanes (freq-major)]."""
+    sin_rows = [d + f * 2 * d + c for f in range(multires) for c in range(d)]
+    cos_rows = [d + f * 2 * d + d + c for f in range(multires) for c in range(d)]
+    return np.asarray(list(range(d)) + sin_rows + cos_rows, np.int32)
 
 
-def _cos_rows(multires: int, d: int = 3) -> np.ndarray:
-    return np.asarray([d + f * 2 * d + d + c for f in range(multires) for c in range(d)], np.int32)
+def _inv_perm(p: np.ndarray) -> np.ndarray:
+    inv = np.empty_like(p)
+    inv[p] = np.arange(len(p), dtype=p.dtype)
+    return inv
 
 
 def _layer_kinds(D: int, skips: Tuple[int, ...]) -> List[str]:
-    """'plain' or 'split' per trunk layer; layer i is split when the reference
-    concatenated the embedding after layer i-1 (dm_nerf.py:89-91).
+    """'emb0' / 'plain' / 'split' per trunk layer; layer i is split when the
+    reference concatenated the embedding after layer i-1 (dm_nerf.py:89-91).
 
     Skip indices >= D never trigger in the reference's range(D) loop and are inert
     (e.g. the default skips=(4,) with netdepth=4); a skip at exactly D-1 would feed
     the heads a W+emb-wide feature and crashes the reference too — reject it."""
     if (D - 1) in skips:
         raise ValueError(f"skip at the last trunk layer (D-1={D-1}) breaks the heads")
-    return ["split" if (i - 1) in skips else "plain" for i in range(D)]
+    return ["emb0"] + ["split" if (i - 1) in skips else "plain" for i in range(1, D)]
+
+
+def _emb_dim(multires: int, d: int = 3) -> int:
+    return d * (1 + 2 * multires)
 
 
 # ---------------------------------------------------------------------------
 # Packing: params dict -> flat operand list (and its inverse for cotangents)
 # ---------------------------------------------------------------------------
 
-def _emb_dim(multires: int, d: int = 3) -> int:
-    return d * (1 + 2 * multires)
-
-
 def _pack(params: Params, multires: int, multires_views: int, D: int,
           skips: Tuple[int, ...]) -> List[jnp.ndarray]:
-    """Row-gather the pytree into kernel operands (pure jnp, fused under jit).
-
-    Per trunk layer: plain -> [W, b]; split -> [Wh, Wx, Ws, Wc, b] where the emb
-    part of the concat input [h, emb] is re-gathered into kernel layout.
-    Then the heads in _HEAD_KEYS order. Biases are [1, n] (TPU wants >=2D).
-    """
-    sr, cr = _sin_rows(multires), _cos_rows(multires)
-    srd, crd = _sin_rows(multires_views), _cos_rows(multires_views)
+    """Row-permute / concat the pytree into kernel operands (pure jnp, fused under
+    jit). Per trunk layer exactly [W, b]; then _HEAD_KEYS. Biases are [1, n]
+    (TPU wants >=2D)."""
+    permp = _emb_perm(multires)
+    permd = _emb_perm(multires_views)
     emb = _emb_dim(multires)
     out: List[jnp.ndarray] = []
     for i, kind in enumerate(_layer_kinds(D, skips)):
         w, b = params[f"trunk_{i}_w"], params[f"trunk_{i}_b"][None, :]
-        if kind == "split":
+        if kind == "emb0":
+            out += [w[permp], b]
+        elif kind == "split":
             hs = w.shape[0] - emb
-            out += [w[:hs], w[hs: hs + 3], w[hs + sr], w[hs + cr], b]
+            out += [jnp.concatenate([w[:hs], w[hs:][permp]], axis=0), b]
         else:
             out += [w, b]
-    for key in _HEAD_KEYS:
-        if key.startswith("rgb_hid_w"):
-            wrh = params["rgb_hid_w"]
-            hs = wrh.shape[0] - _emb_dim(multires_views)
-            part = key.split(":")[1]
-            out.append({"f": wrh[:hs], "x": wrh[hs: hs + 3],
-                        "s": wrh[hs + srd], "c": wrh[hs + crd]}[part])
-        elif key.endswith("_b"):
-            out.append(params[key][None, :])
-        else:
-            out.append(params[key])
+    out += [
+        jnp.concatenate([params["rgb_feat_w"], params["ins_feat_w"],
+                         params["density_w"]], axis=1),
+        jnp.concatenate([params["rgb_feat_b"], params["ins_feat_b"],
+                         params["density_b"]])[None, :],
+    ]
+    wrh = params["rgb_hid_w"]
+    hsd = wrh.shape[0] - _emb_dim(multires_views)
+    out += [jnp.concatenate([wrh[:hsd], wrh[hsd:][permd]], axis=0),
+            params["rgb_hid_b"][None, :]]
+    for key in ("rgb_out", "ins_hid", "ins_out"):
+        out += [params[f"{key}_w"], params[f"{key}_b"][None, :]]
     return out
 
 
 def _unpack_grads(dws: Sequence[jnp.ndarray], params: Params, multires: int,
                   multires_views: int, D: int, skips: Tuple[int, ...]) -> Params:
-    """Inverse of _pack for cotangents: scatter split-row grads back into the
-    reference-ordered weight matrices."""
-    sr, cr = _sin_rows(multires), _cos_rows(multires)
-    srd, crd = _sin_rows(multires_views), _cos_rows(multires_views)
+    """Inverse of _pack for cotangents: un-permute rows / split fused columns back
+    into the reference-ordered weight matrices."""
+    permp = _emb_perm(multires)
+    permd = _emb_perm(multires_views)
     emb = _emb_dim(multires)
     it = iter(dws)
     grads: Params = {}
     for i, kind in enumerate(_layer_kinds(D, skips)):
-        w = params[f"trunk_{i}_w"]
-        if kind == "split":
-            hs = w.shape[0] - emb
-            dwh, dwx, dws_, dwc, db = (next(it) for _ in range(5))
-            dw = jnp.zeros_like(w)
-            dw = dw.at[:hs].set(dwh)
-            dw = dw.at[hs: hs + 3].set(dwx)
-            dw = dw.at[hs + sr].set(dws_)
-            dw = dw.at[hs + cr].set(dwc)
+        dwk, db = next(it), next(it)
+        if kind == "emb0":
+            dw = jnp.take(dwk, _inv_perm(permp), axis=0)
+        elif kind == "split":
+            hs = params[f"trunk_{i}_w"].shape[0] - emb
+            dw = jnp.concatenate(
+                [dwk[:hs], jnp.take(dwk[hs:], _inv_perm(permp), axis=0)], axis=0)
         else:
-            dw, db = next(it), next(it)
+            dw = dwk
         grads[f"trunk_{i}_w"], grads[f"trunk_{i}_b"] = dw, db[0]
-    rgb_hid_parts = {}
-    for key in _HEAD_KEYS:
-        g = next(it)
-        if key.startswith("rgb_hid_w"):
-            rgb_hid_parts[key.split(":")[1]] = g
-        elif key.endswith("_b"):
-            grads[key] = g[0]
-        else:
-            grads[key] = g
-    wrh = params["rgb_hid_w"]
-    hs = wrh.shape[0] - _emb_dim(multires_views)
-    dwrh = jnp.zeros_like(wrh)
-    dwrh = dwrh.at[:hs].set(rgb_hid_parts["f"])
-    dwrh = dwrh.at[hs: hs + 3].set(rgb_hid_parts["x"])
-    dwrh = dwrh.at[hs + srd].set(rgb_hid_parts["s"])
-    dwrh = dwrh.at[hs + crd].set(rgb_hid_parts["c"])
-    grads["rgb_hid_w"] = dwrh
+
+    dwhead, dbhead = next(it), next(it)
+    Wf = params["rgb_feat_w"].shape[1]
+    Wi = params["ins_feat_w"].shape[1]
+    grads["rgb_feat_w"], grads["rgb_feat_b"] = dwhead[:, :Wf], dbhead[0, :Wf]
+    grads["ins_feat_w"] = dwhead[:, Wf:Wf + Wi]
+    grads["ins_feat_b"] = dbhead[0, Wf:Wf + Wi]
+    grads["density_w"], grads["density_b"] = dwhead[:, Wf + Wi:], dbhead[0, Wf + Wi:]
+
+    dwrhk, dbrh = next(it), next(it)
+    hsd = params["rgb_hid_w"].shape[0] - _emb_dim(multires_views)
+    grads["rgb_hid_w"] = jnp.concatenate(
+        [dwrhk[:hsd], jnp.take(dwrhk[hsd:], _inv_perm(permd), axis=0)], axis=0)
+    grads["rgb_hid_b"] = dbrh[0]
+    for key in ("rgb_out", "ins_hid", "ins_out"):
+        grads[f"{key}_w"], grads[f"{key}_b"] = next(it), next(it)[0]
     return grads
 
 
@@ -199,57 +221,60 @@ def _dot_tt(a, b):
                                preferred_element_type=jnp.float32)
 
 
+def _mask(a):
+    """ReLU mask; compare in f32 — Mosaic on v5e rejects bf16 comparisons."""
+    return a.astype(jnp.float32) > 0.0
+
+
 def _dot_nt(a, b):
     """a @ b^T contracting the trailing axes: [T,n]x[m,n] -> [T,m]."""
     return jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
                                preferred_element_type=jnp.float32)
 
 
-def _forward_core_fixed(x, d, Fp, Fd, wv, kinds):
-    """Like _forward_core but with the layer-0 embedding input handled properly.
-
-    Layer 0's weight is packed split-style ([Wx, Ws, Wc, b], no h-part) regardless
-    of `kinds`; see _pack0."""
+def _forward_core(x, d, Fp, Fd, wv, kinds, Wf, Wi, cache_dtype, want_cache):
+    """One matmul per layer over the permuted/concat operand layout (see module
+    docstring). Returns (out [T, 4+C], cache-or-None). Cached activations are
+    cast to cache_dtype and the *cast* value is used downstream, so forward and
+    recompute see identical numerics."""
+    cast = (lambda a: a.astype(cache_dtype)) if cache_dtype is not None else (lambda a: a)
     it = iter(wv)
     xf, df = _dot_exact(x, Fp), _dot_exact(d, Fd)
-    sx, cx = jnp.sin(xf), jnp.cos(xf)
-    sd, cd = jnp.sin(df), jnp.cos(df)
+    e = cast(jnp.concatenate([x, jnp.sin(xf), jnp.cos(xf)], axis=-1))
+    ed = cast(jnp.concatenate([d, jnp.sin(df), jnp.cos(df)], axis=-1))
 
-    w0x, w0s, w0c, b0 = (next(it) for _ in range(4))
-    h = jnp.maximum(_dot(x, w0x) + _dot(sx, w0s) + _dot(cx, w0c) + b0, 0.0)
-    hs = [h]
-    layer_ops = [("emb0", (w0x, w0s, w0c))]
-    for kind in kinds[1:]:
-        if kind == "split":
-            wh, wx, ws, wc, b = (next(it) for _ in range(5))
-            pre = _dot(h, wh) + _dot(x, wx) + _dot(sx, ws) + _dot(cx, wc) + b
-            layer_ops.append((kind, (wh, wx, ws, wc)))
+    h = None
+    hs: List[jnp.ndarray] = []
+    for kind in kinds:
+        w, b = next(it), next(it)
+        if kind == "emb0":
+            inp = e
+        elif kind == "split":
+            inp = jnp.concatenate([h, e], axis=-1)
         else:
-            w, b = next(it), next(it)
-            pre = _dot(h, w) + b
-            layer_ops.append((kind, (w,)))
-        h = jnp.maximum(pre, 0.0)
+            inp = h
+        h = cast(jnp.maximum(_dot(inp, w) + b, 0.0))
         hs.append(h)
 
-    wd, bd = next(it), next(it)
-    sigma = _dot(h, wd) + bd
-    wrf, brf = next(it), next(it)
-    rf = _dot(h, wrf) + brf
-    wrh_f, wrh_x, wrh_s, wrh_c, brh = (next(it) for _ in range(5))
-    rh = jnp.maximum(_dot(rf, wrh_f) + _dot(d, wrh_x) + _dot(sd, wrh_s) + _dot(cd, wrh_c) + brh, 0.0)
+    whead, bhead = next(it), next(it)
+    head = _dot(h, whead) + bhead
+    rf, fi, sigma = head[:, :Wf], head[:, Wf:Wf + Wi], head[:, Wf + Wi:]
+    rf, fi = cast(rf), cast(fi)
+
+    wrh, brh = next(it), next(it)
+    rh = cast(jnp.maximum(_dot(jnp.concatenate([rf, ed], axis=-1), wrh) + brh, 0.0))
     wro, bro = next(it), next(it)
     rgb = _dot(rh, wro) + bro
-    wif, bif = next(it), next(it)
-    fi = _dot(h, wif) + bif
     wih, bih = next(it), next(it)
-    ih = jnp.maximum(_dot(fi, wih) + bih, 0.0)
+    ih = cast(jnp.maximum(_dot(fi, wih) + bih, 0.0))
     wio, bio = next(it), next(it)
     ins = _dot(ih, wio) + bio
 
     out = jnp.concatenate([rgb, sigma, ins], axis=-1)
-    cache = dict(sx=sx, cx=cx, sd=sd, cd=cd, hs=hs, layer_ops=layer_ops,
-                 rf=rf, rh=rh, fi=fi, ih=ih,
-                 heads=(wd, wrf, wrh_f, wrh_x, wrh_s, wrh_c, wro, wif, wih, wio))
+    if not want_cache:
+        return out, None
+    cache = dict(e=e, ed=ed, hs=hs, rf=rf, fi=fi, rh=rh, ih=ih,
+                 heads=(whead, wrh, wro, wih, wio))
     return out, cache
 
 
@@ -257,87 +282,98 @@ def _forward_core_fixed(x, d, Fp, Fd, wv, kinds):
 # pallas_call wrappers
 # ---------------------------------------------------------------------------
 
+# The Mosaic scoped-VMEM default is 16 MiB; v5e has 128 MiB physical VMEM.
+# Larger tiles amortize per-grid-step overhead and widen the MXU's M dimension,
+# so let the kernels use most of the chip's VMEM.
+_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
+
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _fwd_kernel(kinds, n_ops, *refs):
+def _fwd_kernel(kinds, n_ops, Wf, Wi, cache_dtype, *refs):
     (x_ref, d_ref, Fp_ref, Fd_ref), wrefs, (out_ref,) = refs[:4], refs[4:4 + n_ops], refs[4 + n_ops:]
     wv = [r[:] for r in wrefs]
-    out, _ = _forward_core_fixed(x_ref[:], d_ref[:], Fp_ref[:], Fd_ref[:], wv, kinds)
+    out, _ = _forward_core(x_ref[:], d_ref[:], Fp_ref[:], Fd_ref[:], wv, kinds,
+                           Wf, Wi, cache_dtype, want_cache=False)
     out_ref[:] = out
 
 
-def _bwd_kernel(kinds, n_ops, *refs):
+def _bwd_kernel(kinds, n_ops, Wf, Wi, cache_dtype, *refs):
     ins_refs = refs[: 5 + n_ops]
     out_refs = refs[5 + n_ops:]
     x_ref, d_ref, g_ref, Fp_ref, Fd_ref = ins_refs[:5]
     wrefs = ins_refs[5:]
     x, d, g = x_ref[:], d_ref[:], g_ref[:]
     wv = [r[:] for r in wrefs]
-    out, cache = _forward_core_fixed(x, d, Fp_ref[:], Fd_ref[:], wv, kinds)
-    del out
+    _, cache = _forward_core(x, d, Fp_ref[:], Fd_ref[:], wv, kinds,
+                             Wf, Wi, cache_dtype, want_cache=True)
 
-    sx, cx, sd, cd = cache["sx"], cache["cx"], cache["sd"], cache["cd"]
-    hs_list, layer_ops = cache["hs"], cache["layer_ops"]
-    rf, rh, fi, ih = cache["rf"], cache["rh"], cache["fi"], cache["ih"]
-    wd, wrf, wrh_f, wrh_x, wrh_s, wrh_c, wro, wif, wih, wio = cache["heads"]
+    e, ed, hs_list = cache["e"], cache["ed"], cache["hs"]
+    rf, fi, rh, ih = cache["rf"], cache["fi"], cache["rh"], cache["ih"]
+    whead, wrh, wro, wih, wio = cache["heads"]
     h_last = hs_list[-1]
 
     C = wio.shape[1]
     g_rgb, g_sigma, g_ins = g[:, :3], g[:, 3:4], g[:, 4: 4 + C]
-
-    grads: List[jnp.ndarray] = []  # in packed order, built trunk-first then heads
+    # Cotangents live in f32 (exact bias sums); each tensor is cast ONCE to the
+    # cache/compute dtype for its matmul uses — the same rounding the MXU would
+    # apply per-use at default precision, minus the redundant conversion passes.
+    cast = (lambda a: a.astype(cache_dtype)) if cache_dtype is not None else (lambda a: a)
+    g_rgb_c, g_sigma_c, g_ins_c = cast(g_rgb), cast(g_sigma), cast(g_ins)
 
     # ---- ins head (no cotangent into the trunk: the reference's detach) ----
-    d_ih = _dot_nt(g_ins, wio) * (ih > 0)
-    d_fi = _dot_nt(d_ih, wih)
-    dwio, dbio = _dot_tt(ih, g_ins), jnp.sum(g_ins, 0, keepdims=True)
-    dwih, dbih = _dot_tt(fi, d_ih), jnp.sum(d_ih, 0, keepdims=True)
-    dwif, dbif = _dot_tt(h_last, d_fi), jnp.sum(d_fi, 0, keepdims=True)
+    d_ih = _dot_nt(g_ins_c, wio) * _mask(ih)
+    d_ih_c = cast(d_ih)
+    d_fi = _dot_nt(d_ih_c, wih)
+    d_fi_c = cast(d_fi)
+    dwio, dbio = _dot_tt(ih, g_ins_c), jnp.sum(g_ins, 0, keepdims=True)
+    dwih, dbih = _dot_tt(fi, d_ih_c), jnp.sum(d_ih, 0, keepdims=True)
 
     # ---- rgb head ----
-    d_rh = _dot_nt(g_rgb, wro) * (rh > 0)
-    d_rf = _dot_nt(d_rh, wrh_f)
-    dwro, dbro = _dot_tt(rh, g_rgb), jnp.sum(g_rgb, 0, keepdims=True)
-    dwrh_f = _dot_tt(rf, d_rh)
-    dwrh_x = _dot_tt(d, d_rh)
-    dwrh_s = _dot_tt(sd, d_rh)
-    dwrh_c = _dot_tt(cd, d_rh)
+    d_rh = _dot_nt(g_rgb_c, wro) * _mask(rh)
+    d_rh_c = cast(d_rh)
+    dwro, dbro = _dot_tt(rh, g_rgb_c), jnp.sum(g_rgb, 0, keepdims=True)
+    # single dW for the [rf | ed] -> rh linear
+    dwrh = _dot_tt(jnp.concatenate([rf, ed], axis=-1), d_rh_c)
     dbrh = jnp.sum(d_rh, 0, keepdims=True)
-    dwrf, dbrf = _dot_tt(h_last, d_rf), jnp.sum(d_rf, 0, keepdims=True)
+    d_rf = _dot_nt(d_rh_c, wrh[:Wf])
+    d_rf_c = cast(d_rf)
 
-    # ---- density head ----
-    dwd, dbd = _dot_tt(h_last, g_sigma), jnp.sum(g_sigma, 0, keepdims=True)
+    # ---- fused head linear: dW over ALL columns, dx over rgb+density only ----
+    d_head_c = jnp.concatenate([d_rf_c, d_fi_c, g_sigma_c], axis=-1)
+    dwhead = _dot_tt(h_last, d_head_c)
+    dbhead = jnp.concatenate([jnp.sum(d_rf, 0, keepdims=True),
+                              jnp.sum(d_fi, 0, keepdims=True),
+                              jnp.sum(g_sigma, 0, keepdims=True)], axis=-1)
+    d_h = _dot_nt(d_rf_c, whead[:, :Wf]) + _dot_nt(g_sigma_c, whead[:, Wf + Wi:])
 
-    # ---- trunk ----
-    d_h = _dot_nt(d_rf, wrf) + _dot_nt(g_sigma, wd)
+    # ---- trunk (reverse) ----
     trunk_grads: List[List[jnp.ndarray]] = []
-    for i in range(len(kinds) - 1, -1, -1):
-        kind, ops = layer_ops[i]
-        d_pre = d_h * (hs_list[i] > 0)
+    n_layers = len(kinds)
+    for i in range(n_layers - 1, -1, -1):
+        kind = kinds[i]
+        w = wv[2 * i]
+        d_pre = d_h * _mask(hs_list[i])
+        d_pre_c = cast(d_pre)
         db = jnp.sum(d_pre, 0, keepdims=True)
-        h_prev = hs_list[i - 1] if i > 0 else None
         if kind == "emb0":
-            w0x, w0s, w0c = ops
-            trunk_grads.append([_dot_tt(x, d_pre), _dot_tt(sx, d_pre), _dot_tt(cx, d_pre), db])
-            d_h = None
+            trunk_grads.append([_dot_tt(e, d_pre_c), db])
+            d_h = None  # no dx into the raw coordinates (structurally unused)
         elif kind == "split":
-            wh, wx, ws, wc = ops
-            trunk_grads.append([
-                _dot_tt(h_prev, d_pre), _dot_tt(x, d_pre),
-                _dot_tt(sx, d_pre), _dot_tt(cx, d_pre), db,
-            ])
-            d_h = _dot_nt(d_pre, wh)
+            hw = w.shape[0] - e.shape[-1]
+            inp = jnp.concatenate([hs_list[i - 1], e], axis=-1)
+            trunk_grads.append([_dot_tt(inp, d_pre_c), db])
+            d_h = _dot_nt(d_pre_c, w[:hw])
         else:
-            (w,) = ops
-            trunk_grads.append([_dot_tt(h_prev, d_pre), db])
-            d_h = _dot_nt(d_pre, w)
+            trunk_grads.append([_dot_tt(hs_list[i - 1], d_pre_c), db])
+            d_h = _dot_nt(d_pre_c, w)
+
+    grads: List[jnp.ndarray] = []
     for lg in reversed(trunk_grads):
         grads.extend(lg)
-
-    grads += [dwd, dbd, dwrf, dbrf, dwrh_f, dwrh_x, dwrh_s, dwrh_c, dbrh,
-              dwro, dbro, dwif, dbif, dwih, dbih, dwio, dbio]
+    grads += [dwhead, dbhead, dwrh, dbrh, dwro, dbro, dwih, dbih, dwio, dbio]
 
     assert len(grads) == len(out_refs), (len(grads), len(out_refs))
     is_first = pl.program_id(0) == 0
@@ -351,47 +387,27 @@ def _bwd_kernel(kinds, n_ops, *refs):
             ref[:] = ref[:] + val
 
 
-def _pack0(params: Params, multires: int, multires_views: int, D: int,
-           skips: Tuple[int, ...]) -> List[jnp.ndarray]:
-    """_pack, but layer 0 is always split into [Wx, Ws, Wc, b] (it consumes the
-    embedding directly)."""
-    packed = _pack(params, multires, multires_views, D, skips)
-    sr, cr = _sin_rows(multires), _cos_rows(multires)
-    w0, b0 = packed[0], packed[1]
-    w0x, w0s, w0c = w0[:3], w0[sr], w0[cr]
-    return [w0x, w0s, w0c, b0] + packed[2:]
-
-
-def _unpack0_grads(dws: Sequence[jnp.ndarray], params: Params, multires: int,
-                   multires_views: int, D: int, skips: Tuple[int, ...]) -> Params:
-    sr, cr = _sin_rows(multires), _cos_rows(multires)
-    dw0x, dw0s, dw0c, db0 = dws[0], dws[1], dws[2], dws[3]
-    w0 = params["trunk_0_w"]
-    dw0 = jnp.zeros_like(w0)
-    dw0 = dw0.at[:3].set(dw0x)
-    dw0 = dw0.at[sr].set(dw0s)
-    dw0 = dw0.at[cr].set(dw0c)
-    rest = _unpack_grads([dw0, db0] + list(dws[4:]), params, multires,
-                         multires_views, D, skips)
-    # overwrite the (zero-scattered placeholder) layer-0 grad with the real one
-    rest["trunk_0_w"] = dw0
-    return rest
-
-
 def make_pallas_query_fn(
     multires: int = 10,
     multires_views: int = 4,
     D: int = 8,
     skips: Tuple[int, ...] = (4,),
-    tile_fwd: int = 1024,
-    tile_bwd: int = 512,
+    tile_fwd: int = 2048,
+    tile_bwd: int = 1024,
     interpret: bool = False,
     mesh=None,
+    cache_dtype=None,
 ):
     """Drop-in replacement for core.pipeline.make_xla_query_fn backed by the fused
     Pallas kernels. query(params, pts [N,S,3], viewdirs [N,3]) -> raw [N,S,4+C].
 
     Requires positional encoding enabled (i_embed == 0 in reference terms).
+
+    cache_dtype: dtype for rematerialized activations inside the backward kernel
+    (and the matching forward compute). None = bf16 compiled / f32 interpreted —
+    bf16 is numerically identical compiled because the MXU rounds f32 matmul
+    inputs to bf16 at default precision anyway (see module docstring), while the
+    interpret-mode CPU tests compare against an exact-f32 XLA path.
 
     mesh: optional jax.sharding.Mesh with a 'data' axis. GSPMD cannot auto-partition
     a pallas_call (tpu_custom_call), so under a mesh the query is shard_map'ed along
@@ -403,6 +419,18 @@ def make_pallas_query_fn(
     kinds = tuple(_layer_kinds(D, tuple(skips)))
     Fp = jnp.asarray(_freq_matrix(multires))
     Fd = jnp.asarray(_freq_matrix(multires_views))
+    if cache_dtype is None:
+        cache_dtype = jnp.float32 if interpret else jnp.bfloat16
+
+    def _cast_weights(packed):
+        """Ship weight matrices (even slots — _pack alternates [w, b]) in the
+        compute dtype: at default precision the MXU rounds f32 inputs to bf16 per
+        use anyway, so casting once outside the kernel is numerically identical
+        and removes a per-grid-step conversion pass per matmul (plus half the
+        weight VMEM). Biases stay f32 (added to the f32 MXU accumulator)."""
+        return [w.astype(cache_dtype) if i % 2 == 0 else w
+                for i, w in enumerate(packed)]
+
     def _const_spec(shape):
         return pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM)
 
@@ -414,7 +442,9 @@ def make_pallas_query_fn(
         return _fwd(params, pts, dirs)
 
     def _fwd(params, pts, dirs):
-        packed = _pack0(params, multires, multires_views, D, tuple(skips))
+        packed = _cast_weights(_pack(params, multires, multires_views, D, tuple(skips)))
+        Wf = params["rgb_feat_w"].shape[1]
+        Wi = params["ins_feat_w"].shape[1]
         P = pts.shape[0]
         C4 = params["ins_out_w"].shape[1] + 4
         Pp = _round_up(max(P, 1), tile_fwd)
@@ -423,7 +453,7 @@ def make_pallas_query_fn(
         dirsp = jnp.pad(dirs, ((0, pad), (0, 0)))
         n_ops = len(packed)
         out = pl.pallas_call(
-            functools.partial(_fwd_kernel, kinds, n_ops),
+            functools.partial(_fwd_kernel, kinds, n_ops, Wf, Wi, cache_dtype),
             out_shape=jax.ShapeDtypeStruct((Pp, C4), jnp.float32),
             grid=(Pp // tile_fwd,),
             in_specs=[
@@ -432,6 +462,7 @@ def make_pallas_query_fn(
                 *[_const_spec(w.shape) for w in packed],
             ],
             out_specs=_tile_spec(tile_fwd, C4),
+            compiler_params=_COMPILER_PARAMS,
             interpret=interpret,
         )(ptsp, dirsp, Fp, Fd, *packed)
         return out[:P]
@@ -441,7 +472,9 @@ def make_pallas_query_fn(
 
     def _bwd_rule(res, g):
         params, pts, dirs = res
-        packed = _pack0(params, multires, multires_views, D, tuple(skips))
+        packed = _cast_weights(_pack(params, multires, multires_views, D, tuple(skips)))
+        Wf = params["rgb_feat_w"].shape[1]
+        Wi = params["ins_feat_w"].shape[1]
         P = pts.shape[0]
         C4 = params["ins_out_w"].shape[1] + 4
         Pp = _round_up(max(P, 1), tile_bwd)
@@ -451,7 +484,7 @@ def make_pallas_query_fn(
         gp = jnp.pad(g, ((0, pad), (0, 0)))  # zero rows: padded points contribute 0
         n_ops = len(packed)
         dws = pl.pallas_call(
-            functools.partial(_bwd_kernel, kinds, n_ops),
+            functools.partial(_bwd_kernel, kinds, n_ops, Wf, Wi, cache_dtype),
             out_shape=[jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in packed],
             grid=(Pp // tile_bwd,),
             in_specs=[
@@ -460,9 +493,10 @@ def make_pallas_query_fn(
                 *[_const_spec(w.shape) for w in packed],
             ],
             out_specs=[_const_spec(w.shape) for w in packed],
+            compiler_params=_COMPILER_PARAMS,
             interpret=interpret,
         )(ptsp, dirsp, gp, Fp, Fd, *packed)
-        dparams = _unpack0_grads(dws, params, multires, multires_views, D, tuple(skips))
+        dparams = _unpack_grads(dws, params, multires, multires_views, D, tuple(skips))
         return dparams, jnp.zeros_like(pts), jnp.zeros_like(dirs)
 
     query_flat.defvjp(_fwd_rule, _bwd_rule)
