@@ -232,17 +232,26 @@ def _dot_nt(a, b):
                                preferred_element_type=jnp.float32)
 
 
-def _forward_core(x, d, Fp, Fd, wv, kinds, Wf, Wi, cache_dtype, want_cache):
-    """One matmul per layer over the permuted/concat operand layout (see module
-    docstring). Returns (out [T, 4+C], cache-or-None). Cached activations are
-    cast to cache_dtype and the *cast* value is used downstream, so forward and
-    recompute see identical numerics."""
-    cast = (lambda a: a.astype(cache_dtype)) if cache_dtype is not None else (lambda a: a)
-    it = iter(wv)
+def _cast_fn(cache_dtype):
+    return (lambda a: a.astype(cache_dtype)) if cache_dtype is not None else (lambda a: a)
+
+
+def _embed_pair(x, d, Fp, Fd, cast):
+    """In-kernel PE: exact-precision frequency products + sin/cos lane-concat."""
     xf, df = _dot_exact(x, Fp), _dot_exact(d, Fd)
     e = cast(jnp.concatenate([x, jnp.sin(xf), jnp.cos(xf)], axis=-1))
     ed = cast(jnp.concatenate([d, jnp.sin(df), jnp.cos(df)], axis=-1))
+    return e, ed
 
+
+def _forward_core(e, ed, wv, kinds, Wf, Wi, cache_dtype, want_cache):
+    """One matmul per layer over the permuted/concat operand layout (see module
+    docstring), starting from the already-built embeddings e [T,Ep] / ed [T,Ed].
+    Returns (out [T, 4+C], cache-or-None). Cached activations are cast to
+    cache_dtype and the *cast* value is used downstream, so forward and
+    recompute see identical numerics."""
+    cast = _cast_fn(cache_dtype)
+    it = iter(wv)
     h = None
     hs: List[jnp.ndarray] = []
     for kind in kinds:
@@ -295,8 +304,17 @@ def _round_up(x: int, m: int) -> int:
 def _fwd_kernel(kinds, n_ops, Wf, Wi, cache_dtype, *refs):
     (x_ref, d_ref, Fp_ref, Fd_ref), wrefs, (out_ref,) = refs[:4], refs[4:4 + n_ops], refs[4 + n_ops:]
     wv = [r[:] for r in wrefs]
-    out, _ = _forward_core(x_ref[:], d_ref[:], Fp_ref[:], Fd_ref[:], wv, kinds,
-                           Wf, Wi, cache_dtype, want_cache=False)
+    e, ed = _embed_pair(x_ref[:], d_ref[:], Fp_ref[:], Fd_ref[:], _cast_fn(cache_dtype))
+    out, _ = _forward_core(e, ed, wv, kinds, Wf, Wi, cache_dtype, want_cache=False)
+    out_ref[:] = out
+
+
+def _fwd_kernel_pe(kinds, n_ops, Wf, Wi, cache_dtype, *refs):
+    """pe_mode='outside' forward: embeddings are kernel inputs (already cast)."""
+    (e_ref, ed_ref), wrefs, (out_ref,) = refs[:2], refs[2:2 + n_ops], refs[2 + n_ops:]
+    wv = [r[:] for r in wrefs]
+    out, _ = _forward_core(e_ref[:], ed_ref[:], wv, kinds, Wf, Wi, cache_dtype,
+                           want_cache=False)
     out_ref[:] = out
 
 
@@ -307,9 +325,27 @@ def _bwd_kernel(kinds, n_ops, Wf, Wi, cache_dtype, *refs):
     wrefs = ins_refs[5:]
     x, d, g = x_ref[:], d_ref[:], g_ref[:]
     wv = [r[:] for r in wrefs]
-    _, cache = _forward_core(x, d, Fp_ref[:], Fd_ref[:], wv, kinds,
-                             Wf, Wi, cache_dtype, want_cache=True)
+    e, ed = _embed_pair(x, d, Fp_ref[:], Fd_ref[:], _cast_fn(cache_dtype))
+    _, cache = _forward_core(e, ed, wv, kinds, Wf, Wi, cache_dtype, want_cache=True)
+    grads = _backward_core(g, wv, cache, kinds, Wf, Wi, cache_dtype)
+    _accumulate_grads(out_refs, grads)
 
+
+def _bwd_kernel_pe(kinds, n_ops, Wf, Wi, cache_dtype, *refs):
+    """pe_mode='outside' backward: embeddings are kernel inputs (already cast)."""
+    ins_refs = refs[: 3 + n_ops]
+    out_refs = refs[3 + n_ops:]
+    e_ref, ed_ref, g_ref = ins_refs[:3]
+    wrefs = ins_refs[3:]
+    wv = [r[:] for r in wrefs]
+    _, cache = _forward_core(e_ref[:], ed_ref[:], wv, kinds, Wf, Wi, cache_dtype,
+                             want_cache=True)
+    grads = _backward_core(g_ref[:], wv, cache, kinds, Wf, Wi, cache_dtype)
+    _accumulate_grads(out_refs, grads)
+
+
+def _backward_core(g, wv, cache, kinds, Wf, Wi, cache_dtype):
+    """Parameter cotangents for one tile, from the remat'ed forward cache."""
     e, ed, hs_list = cache["e"], cache["ed"], cache["hs"]
     rf, fi, rh, ih = cache["rf"], cache["fi"], cache["rh"], cache["ih"]
     whead, wrh, wro, wih, wio = cache["heads"]
@@ -374,7 +410,12 @@ def _bwd_kernel(kinds, n_ops, Wf, Wi, cache_dtype, *refs):
     for lg in reversed(trunk_grads):
         grads.extend(lg)
     grads += [dwhead, dbhead, dwrh, dbrh, dwro, dbro, dwih, dbih, dwio, dbio]
+    return grads
 
+
+def _accumulate_grads(out_refs, grads):
+    """First grid step initializes the accumulators, later steps add (the grid is
+    sequential on TPU and the out blocks stay VMEM-resident: constant index map)."""
     assert len(grads) == len(out_refs), (len(grads), len(out_refs))
     is_first = pl.program_id(0) == 0
     for ref, val in zip(out_refs, grads):
@@ -393,10 +434,11 @@ def make_pallas_query_fn(
     D: int = 8,
     skips: Tuple[int, ...] = (4,),
     tile_fwd: int = 2048,
-    tile_bwd: int = 1024,
+    tile_bwd: int = 2048,
     interpret: bool = False,
     mesh=None,
     cache_dtype=None,
+    pe_mode: str = "outside",
 ):
     """Drop-in replacement for core.pipeline.make_xla_query_fn backed by the fused
     Pallas kernels. query(params, pts [N,S,3], viewdirs [N,3]) -> raw [N,S,4+C].
@@ -414,8 +456,20 @@ def make_pallas_query_fn(
     the ray axis: each device runs the kernel on its ray shard; parameters are
     replicated (in_specs P()) and shard_map's transpose inserts the gradient psum
     over 'data' automatically. The per-ray N axis must be divisible by the axis size
-    (the sharded train step already enforces this for the batch)."""
+    (the sharded train step already enforces this for the batch).
+
+    pe_mode: where the positional encoding is computed.
+      'kernel'  — in-register inside both kernels (exact-precision freq matmul +
+                  sin/cos per tile). No embedding ever touches HBM.
+      'outside' — XLA computes e/ed once in f32 (exact powers-of-two scaling,
+                  identical phases), casts to the compute dtype, and the kernels
+                  become pure matmul chains over [T, Ep]/[T, Ed] inputs. Costs
+                  ~106 MB/pass of HBM (~0.13 ms at v5e bandwidth) but removes the
+                  transcendentals + lane-concats that serialize with the MXU in
+                  EVERY tile of BOTH kernels, and dedups the viewdir embedding
+                  per-ray instead of per-point."""
     assert multires > 0 and multires_views > 0, "pallas path needs PE enabled"
+    assert pe_mode in ("kernel", "outside"), pe_mode
     kinds = tuple(_layer_kinds(D, tuple(skips)))
     Fp = jnp.asarray(_freq_matrix(multires))
     Fd = jnp.asarray(_freq_matrix(multires_views))
@@ -501,8 +555,92 @@ def make_pallas_query_fn(
 
     query_flat.defvjp(_fwd_rule, _bwd_rule)
 
+    # ---- pe_mode='outside': embeddings built by XLA, kernels are matmul-only ----
+    Ep, Ed = _emb_dim(multires), _emb_dim(multires_views)
+
+    def _pe_outside(x, multires_):
+        """Freq-major kernel lane order [x | sin(f-major) | cos(f-major)]. The
+        frequency scaling is an exact elementwise powers-of-two product, so the
+        phases match the in-kernel _dot_exact path bit-for-bit in f32."""
+        freqs = jnp.asarray([2.0 ** f for f in range(multires_)], x.dtype)
+        xs = (x[:, None, :] * freqs[:, None]).reshape(x.shape[0], -1)
+        return jnp.concatenate([x, jnp.sin(xs), jnp.cos(xs)], axis=-1)
+
+    @jax.custom_vjp
+    def query_flat_pe(params, e, ed):
+        return _fwd_pe(params, e, ed)
+
+    def _fwd_pe(params, e, ed):
+        packed = _cast_weights(_pack(params, multires, multires_views, D, tuple(skips)))
+        Wf = params["rgb_feat_w"].shape[1]
+        Wi = params["ins_feat_w"].shape[1]
+        P = e.shape[0]
+        C4 = params["ins_out_w"].shape[1] + 4
+        Pp = _round_up(max(P, 1), tile_fwd)
+        pad = Pp - P
+        ep = jnp.pad(e, ((0, pad), (0, 0)))
+        edp = jnp.pad(ed, ((0, pad), (0, 0)))
+        n_ops = len(packed)
+        out = pl.pallas_call(
+            functools.partial(_fwd_kernel_pe, kinds, n_ops, Wf, Wi, cache_dtype),
+            out_shape=jax.ShapeDtypeStruct((Pp, C4), jnp.float32),
+            grid=(Pp // tile_fwd,),
+            in_specs=[
+                _tile_spec(tile_fwd, Ep), _tile_spec(tile_fwd, Ed),
+                *[_const_spec(w.shape) for w in packed],
+            ],
+            out_specs=_tile_spec(tile_fwd, C4),
+            compiler_params=_COMPILER_PARAMS,
+            interpret=interpret,
+        )(ep, edp, *packed)
+        return out[:P]
+
+    def _fwd_rule_pe(params, e, ed):
+        return _fwd_pe(params, e, ed), (params, e, ed)
+
+    def _bwd_rule_pe(res, g):
+        params, e, ed = res
+        packed = _cast_weights(_pack(params, multires, multires_views, D, tuple(skips)))
+        Wf = params["rgb_feat_w"].shape[1]
+        Wi = params["ins_feat_w"].shape[1]
+        P = e.shape[0]
+        C4 = params["ins_out_w"].shape[1] + 4
+        Pp = _round_up(max(P, 1), tile_bwd)
+        pad = Pp - P
+        ep = jnp.pad(e, ((0, pad), (0, 0)))
+        edp = jnp.pad(ed, ((0, pad), (0, 0)))
+        gp = jnp.pad(g, ((0, pad), (0, 0)))  # zero rows: padded points contribute 0
+        n_ops = len(packed)
+        dws = pl.pallas_call(
+            functools.partial(_bwd_kernel_pe, kinds, n_ops, Wf, Wi, cache_dtype),
+            out_shape=[jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in packed],
+            grid=(Pp // tile_bwd,),
+            in_specs=[
+                _tile_spec(tile_bwd, Ep), _tile_spec(tile_bwd, Ed), _tile_spec(tile_bwd, C4),
+                *[_const_spec(w.shape) for w in packed],
+            ],
+            out_specs=[_const_spec(w.shape) for w in packed],
+            compiler_params=_COMPILER_PARAMS,
+            interpret=interpret,
+        )(ep, edp, gp, *packed)
+        dparams = _unpack_grads(dws, params, multires, multires_views, D, tuple(skips))
+        return dparams, jnp.zeros_like(e), jnp.zeros_like(ed)
+
+    query_flat_pe.defvjp(_fwd_rule_pe, _bwd_rule_pe)
+
     def query(params, pts, viewdirs):
         N, S, _ = pts.shape
+        if pe_mode == "outside":
+            # rays/z-vals carry no gradient in every consumer (stop_gradient /
+            # data — reference render.py:66-68), so cut the PE out of the
+            # autodiff graph entirely; the viewdir embedding is per-RAY (N sin/cos
+            # evaluations, not N*S) and broadcast to points afterwards.
+            e = _pe_outside(pts.reshape(N * S, 3), multires).astype(cache_dtype)
+            edr = _pe_outside(viewdirs, multires_views).astype(cache_dtype)
+            ed = jnp.broadcast_to(edr[:, None, :], (N, S, Ed)).reshape(N * S, Ed)
+            raw = query_flat_pe(params, jax.lax.stop_gradient(e),
+                                jax.lax.stop_gradient(ed))
+            return raw.reshape(N, S, -1)
         dirs_pt = jnp.broadcast_to(viewdirs[:, None, :], (N, S, 3)).reshape(N * S, 3)
         raw = query_flat(params, pts.reshape(N * S, 3), dirs_pt)
         return raw.reshape(N, S, -1)

@@ -20,7 +20,8 @@ CASES = [
 ]
 
 
-def _setup(multires, multires_views, D, W, skips, ins_num, N=6, S=8, seed=0):
+def _setup(multires, multires_views, D, W, skips, ins_num, N=6, S=8, seed=0,
+           pe_mode="kernel"):
     params = init_dm_nerf(
         jax.random.PRNGKey(seed), ins_num=ins_num, D=D, W=W,
         input_ch_pts=3 * (1 + 2 * multires), input_ch_views=3 * (1 + 2 * multires_views),
@@ -32,22 +33,25 @@ def _setup(multires, multires_views, D, W, skips, ins_num, N=6, S=8, seed=0):
     dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
     q_xla = make_xla_query_fn(multires, multires_views, D, skips)
     q_pal = make_pallas_query_fn(multires, multires_views, D, skips,
-                                 tile_fwd=16, tile_bwd=16, interpret=True)
+                                 tile_fwd=16, tile_bwd=16, interpret=True,
+                                 pe_mode=pe_mode)
     return params, pts, dirs, q_xla, q_pal
 
 
+@pytest.mark.parametrize("pe_mode", ["kernel", "outside"])
 @pytest.mark.parametrize("case", CASES)
-def test_pallas_forward_matches_xla(case):
-    params, pts, dirs, q_xla, q_pal = _setup(*case)
+def test_pallas_forward_matches_xla(case, pe_mode):
+    params, pts, dirs, q_xla, q_pal = _setup(*case, pe_mode=pe_mode)
     want = np.asarray(q_xla(params, pts, dirs))
     got = np.asarray(q_pal(params, pts, dirs))
     assert got.shape == want.shape
     np.testing.assert_allclose(got, want, atol=2e-5, rtol=2e-5)
 
 
+@pytest.mark.parametrize("pe_mode", ["kernel", "outside"])
 @pytest.mark.parametrize("case", CASES)
-def test_pallas_param_grads_match_xla(case):
-    params, pts, dirs, q_xla, q_pal = _setup(*case)
+def test_pallas_param_grads_match_xla(case, pe_mode):
+    params, pts, dirs, q_xla, q_pal = _setup(*case, pe_mode=pe_mode)
 
     def loss(q):
         def f(p):
