@@ -198,7 +198,9 @@ def bench_render(precision: str) -> dict:
 def bench_kernel_parity() -> dict:
     """COMPILED Pallas fused kernel vs XLA path at the flagship fine-pass shape —
     the on-chip regression net for grid/tiling bugs (interpret-mode CPU tests can't
-    see them). Also times both paths."""
+    see them): FORWARD outputs, BACKWARD parameter cotangents (the kernel's whole
+    reason to exist — round 2's PE bug proved compiled-only divergence is real),
+    and timings for both directions on both paths."""
     import jax
     import jax.numpy as jnp
 
@@ -213,27 +215,56 @@ def bench_kernel_parity() -> dict:
     dirs = rng.randn(N, 3).astype(np.float32)
     dirs = jnp.asarray(dirs / np.linalg.norm(dirs, axis=-1, keepdims=True))
 
-    q_xla = jax.jit(make_xla_query_fn())
-    q_pal = jax.jit(make_pallas_query_fn())
-    a = np.asarray(q_xla(params, pts, dirs))
-    b = np.asarray(q_pal(params, pts, dirs))
+    q_xla = make_xla_query_fn()
+    q_pal = make_pallas_query_fn()
+    a = np.asarray(jax.jit(q_xla)(params, pts, dirs))
+    b = np.asarray(jax.jit(q_pal)(params, pts, dirs))
     max_err = float(np.max(np.abs(a - b)))
     scale = float(np.max(np.abs(a)))
-    ok = bool(max_err <= 5e-3 * max(scale, 1.0))
+    fwd_ok = bool(max_err <= 5e-3 * max(scale, 1.0))
 
-    def _time(f):
-        f(params, pts, dirs).block_until_ready()
+    # backward: a cotangent mixing every head channel, parameter grads compared
+    # leaf-by-leaf as RELATIVE error (same loss as tests/test_kernels.py but at the
+    # flagship shape, COMPILED)
+    w = jnp.asarray(np.linspace(0.5, 1.5, a.shape[-1]), jnp.float32)
+
+    def make_loss(q):
+        return lambda p: jnp.sum(jnp.tanh(q(p, pts, dirs)) * w)
+
+    g_xla = jax.jit(jax.grad(make_loss(q_xla)))(params)
+    g_pal = jax.jit(jax.grad(make_loss(q_pal)))(params)
+    bwd_rel = 0.0
+    for k in sorted(g_xla):
+        ga, gb = np.asarray(g_xla[k]), np.asarray(g_pal[k])
+        bwd_rel = max(bwd_rel, float(np.max(np.abs(ga - gb)) / (np.max(np.abs(ga)) + 1e-12)))
+    bwd_ok = bool(bwd_rel <= 2e-2)
+
+    def _time(f, *args):
+        # scalar-reduce + float(): a host-side scalar read is the only reliable
+        # execution fence under the axon tunnel
+        g = jax.jit(lambda *a: sum(jnp.sum(x) for x in jax.tree_util.tree_leaves(f(*a))))
+        _ = float(g(*args))
         t0 = time.perf_counter()
         for _ in range(10):
-            out = f(params, pts, dirs)
-        out.block_until_ready()
+            out = g(*args)
+        _ = float(out)
         return (time.perf_counter() - t0) / 10 * 1e3
 
-    ms_xla, ms_pal = _time(q_xla), _time(q_pal)
-    log(f"[bench] kernel parity: max|Δ| {max_err:.2e} (scale {scale:.1f}) -> "
-        f"{'PASS' if ok else 'FAIL'}; fwd ms xla {ms_xla:.2f} pallas {ms_pal:.2f}")
+    fwd_xla = _time(q_xla, params, pts, dirs)
+    fwd_pal = _time(q_pal, params, pts, dirs)
+    grad_xla = _time(jax.grad(make_loss(q_xla)), params)
+    grad_pal = _time(jax.grad(make_loss(q_pal)), params)
+    ok = fwd_ok and bwd_ok
+    log(f"[bench] kernel parity: fwd max|Δ| {max_err:.2e} (scale {scale:.1f}), "
+        f"bwd max rel {bwd_rel:.2e} -> {'PASS' if ok else 'FAIL'}; "
+        f"fwd ms xla {fwd_xla:.2f} pallas {fwd_pal:.2f}; "
+        f"fwd+bwd ms xla {grad_xla:.2f} pallas {grad_pal:.2f}")
     return {"pass": ok, "max_abs_err": max_err, "out_scale": scale,
-            "fwd_ms_xla": round(ms_xla, 2), "fwd_ms_pallas": round(ms_pal, 2)}
+            "bwd_max_rel_err": bwd_rel, "bwd_pass": bwd_ok,
+            "fwd_ms_xla": round(fwd_xla, 2), "fwd_ms_pallas": round(fwd_pal, 2),
+            "grad_ms_xla": round(grad_xla, 2), "grad_ms_pallas": round(grad_pal, 2),
+            "bwd_ms_xla_derived": round(grad_xla - fwd_xla, 2),
+            "bwd_ms_pallas_derived": round(grad_pal - fwd_pal, 2)}
 
 
 REF_RAYS = 512   # reference measured at a smaller ray count (cost is linear in rays;

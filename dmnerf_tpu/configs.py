@@ -101,6 +101,12 @@ class Config:
     # --- TPU-native additions (no reference counterpart; SURVEY.md §2.2, §5) ---
     precision: str = "float32"    # float32 for parity; bfloat16 perf mode
     use_pallas: bool = True       # fused Pallas MLP kernel vs pure-XLA path
+    # Pallas kernel knobs (ADVICE r2: make the train path's choice explicit and
+    # recorded in args.txt rather than silent kernel defaults). None = the kernel
+    # module's measured-best defaults for this chip generation.
+    pallas_pe_mode: Optional[str] = None   # 'kernel' | 'outside'
+    pallas_tile_fwd: Optional[int] = None  # forward tile (rows per grid step)
+    pallas_tile_bwd: Optional[int] = None  # backward tile
     data_axis: int = 1            # number of devices on the ray-sharded 'data' mesh axis
     checkpoint_every: int = 10000
     resume: bool = True           # train resume (capability superset; reference never resumes)

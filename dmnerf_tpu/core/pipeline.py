@@ -72,8 +72,15 @@ def make_query_fn(cfg, mesh=None) -> QueryFn:
             and platform == "tpu":
         from dmnerf_tpu.kernels.fused_mlp import make_pallas_query_fn
 
+        kw = {}
+        if cfg.pallas_pe_mode is not None:
+            kw["pe_mode"] = cfg.pallas_pe_mode
+        if cfg.pallas_tile_fwd is not None:
+            kw["tile_fwd"] = cfg.pallas_tile_fwd
+        if cfg.pallas_tile_bwd is not None:
+            kw["tile_bwd"] = cfg.pallas_tile_bwd
         return make_pallas_query_fn(cfg.multires, cfg.multires_views, cfg.netdepth,
-                                    tuple(cfg.skips), mesh=mesh)
+                                    tuple(cfg.skips), mesh=mesh, **kw)
     mr = cfg.multires if cfg.i_embed == 0 else -1
     mrv = cfg.multires_views if cfg.i_embed == 0 else -1
     return make_xla_query_fn(mr, mrv, cfg.netdepth, tuple(cfg.skips))

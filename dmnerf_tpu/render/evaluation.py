@@ -137,6 +137,8 @@ def render_test(
         write_test_results(savedir, psnrs, ssims, lpipses, np.asarray(aps))
     if gt_imgs is not None and aps and verbose:
         a = np.asarray(aps).mean(0)
+        lp = ("n/a (weights absent, see docs/LPIPS.md)"
+              if np.all(np.isnan(lpipses)) else f"{np.nanmean(lpipses):.4f}")
         print(f"[eval] mean PSNR {np.nanmean(psnrs):.4f} SSIM {np.nanmean(ssims):.4f} "
-              f"LPIPS {np.nanmean(lpipses):.4f} mAP {a}")
+              f"LPIPS {lp} mAP {a}")
     return results

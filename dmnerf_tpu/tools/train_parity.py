@@ -12,8 +12,15 @@ each side evaluated by its own stack (reference networks/evaluator.py ins_eval v
 dmnerf_tpu.objfield.metrics.ins_eval).
 
 CLI:  python -m dmnerf_tpu.tools.train_parity [--iters 2000] [--out PARITY.md]
+      [--query {xla,pallas}] [--vs {reference,xla}] [--geometry {tiny,flagship}]
 Writes a markdown table + parity.json. The pytest harness
 (tests/test_training_parity.py) runs a shortened schedule with tolerances.
+
+--query pallas routes the "ours" side through the fused Pallas kernel — the path
+production training actually takes on TPU (compiled on TPU, interpret elsewhere).
+--vs xla drops the torch reference and instead compares the two query paths'
+trajectories against each other (the kernel-path training parity, VERDICT r2
+item 4); combine with --geometry flagship on TPU for the committed PARITY run.
 """
 
 from __future__ import annotations
@@ -33,9 +40,26 @@ REF = "/root/reference"
 # that the torch-CPU side stays tractable
 D, W, MULTIRES, MULTIRES_VIEWS, SKIPS = 4, 64, 6, 3, (2,)
 N_SAMPLES, N_IMPORTANCE, N_TRAIN = 16, 16, 128
+SCENE_HW = 32
 NEAR, FAR = 2.0, 7.0
 LRATE, LRATE_DECAY = 5e-4, 500
 TOLERANCE, DETA_W = 0.05, 0.05
+
+GEOMETRIES = {
+    "tiny": dict(D=4, W=64, MULTIRES=6, MULTIRES_VIEWS=3, SKIPS=(2,),
+                 N_SAMPLES=16, N_IMPORTANCE=16, N_TRAIN=128, SCENE_HW=32),
+    # the reference training schedule (BASELINE.md): 8x256 net, 64+128 samples.
+    # 3072 rays need a 64x64 scene (pixel picks are without replacement).
+    "flagship": dict(D=8, W=256, MULTIRES=10, MULTIRES_VIEWS=4, SKIPS=(4,),
+                     N_SAMPLES=64, N_IMPORTANCE=128, N_TRAIN=3072, SCENE_HW=64),
+}
+
+
+def set_geometry(name: str) -> None:
+    """Select the run geometry by rebinding the module constants every helper
+    reads (explicit and contained; the alternative is threading 9 values through
+    5 call layers for a 2-choice CLI knob)."""
+    globals().update(GEOMETRIES[name])
 
 
 def make_config(ins_num: int):
@@ -92,9 +116,9 @@ def build_scene(tmp_dir: str):
     from dmnerf_tpu.data.dmsr import load_dmsr
     from dmnerf_tpu.data.synthetic import write_dmsr_scene
 
-    scene_dir = os.path.join(tmp_dir, "study")
+    scene_dir = os.path.join(tmp_dir, f"study_{SCENE_HW}")
     if not os.path.isdir(scene_dir):
-        write_dmsr_scene(scene_dir, n_train=6, n_test=3, H=32, W=32,
+        write_dmsr_scene(scene_dir, n_train=6, n_test=3, H=SCENE_HW, W=SCENE_HW,
                          n_objects=3, ins_num=8)
     cfg = make_config(8).replace(datadir=scene_dir, testskip=1, views=4)
     return load_dmsr(cfg), cfg
@@ -228,11 +252,29 @@ def _torch_gt_onehot(gt_label, ins_num):
     return compact.float(), valid
 
 
-def run_ours(init_params_c, init_params_f, scene, batches, record_at) -> Dict:
+def make_query(kind: str):
+    """Build the query path under comparison: 'xla' (pure-XLA) or 'pallas' (the
+    fused kernel — compiled on TPU, interpret mode elsewhere so the harness stays
+    runnable on CPU)."""
+    from dmnerf_tpu.core.pipeline import make_xla_query_fn
+
+    if kind == "pallas":
+        import jax
+
+        from dmnerf_tpu.kernels.fused_mlp import make_pallas_query_fn
+
+        interp = jax.default_backend() != "tpu"
+        tile = 16 if interp else 2048
+        return make_pallas_query_fn(MULTIRES, MULTIRES_VIEWS, D, SKIPS,
+                                    tile_fwd=tile, tile_bwd=tile, interpret=interp)
+    return make_xla_query_fn(MULTIRES, MULTIRES_VIEWS, D, SKIPS)
+
+
+def run_ours(init_params_c, init_params_f, scene, batches, record_at,
+             query: str = "xla") -> Dict:
     import jax
     import jax.numpy as jnp
 
-    from dmnerf_tpu.core.pipeline import make_xla_query_fn
     from dmnerf_tpu.objfield.metrics import compact_gt_one_hot_np, ins_eval
     from dmnerf_tpu.render.renderer import make_image_renderer
     from dmnerf_tpu.render.trainstep import (Batch, TrainState, make_optimizer,
@@ -240,7 +282,7 @@ def run_ours(init_params_c, init_params_f, scene, batches, record_at) -> Dict:
     from dmnerf_tpu.utils.image_metrics import psnr_np
 
     cfg = make_config(scene.ins_num)
-    query_fn = make_xla_query_fn(MULTIRES, MULTIRES_VIEWS, D, SKIPS)
+    query_fn = make_query(query)
     step = make_train_step(cfg, query_fn=query_fn)
     opt_state = make_optimizer(cfg).init((init_params_c, init_params_f))
     state = TrainState(jnp.zeros((), jnp.int32), init_params_c, init_params_f, opt_state)
@@ -275,7 +317,7 @@ def run_ours(init_params_c, init_params_f, scene, batches, record_at) -> Dict:
                                      "ap": [float(a) for a in np.asarray(ap).reshape(-1)]}}
 
 
-def run_parity(n_iters: int, record_every: int, tmp_dir: str, seed: int = 0) -> Dict:
+def _shared_setup(n_iters: int, record_every: int, tmp_dir: str, seed: int):
     import jax
 
     scene, cfg = build_scene(tmp_dir)
@@ -287,20 +329,15 @@ def run_parity(n_iters: int, record_every: int, tmp_dir: str, seed: int = 0) -> 
                   input_ch_pts=embed_dim(MULTIRES),
                   input_ch_views=embed_dim(MULTIRES_VIEWS), skips=SKIPS)
     # snapshot to host numpy: the jitted train step donates its state buffers,
-    # which would invalidate the shared init before the reference side reads it
+    # which would invalidate the shared init before the second side reads it
     params_c = {k: np.asarray(v) for k, v in init_dm_nerf(kc, **kwargs).items()}
     params_f = {k: np.asarray(v) for k, v in init_dm_nerf(kf, **kwargs).items()}
-
     record_at = set(range(record_every, n_iters + 1, record_every)) | {1, n_iters}
     batches = precompute_batches(scene, n_iters, seed)
+    return scene, params_c, params_f, record_at, batches
 
-    t0 = time.time()
-    ours = run_ours(params_c, params_f, scene, batches, record_at)
-    t_ours = time.time() - t0
-    t0 = time.time()
-    ref = run_reference(params_c, params_f, scene, batches, record_at)
-    t_ref = time.time() - t0
 
+def _diff_rows(ours: Dict, ref: Dict) -> List[Dict]:
     rows = []
     for it in sorted(ours["trace"]):
         o, r = ours["trace"][it], ref["trace"][it]
@@ -308,15 +345,61 @@ def run_parity(n_iters: int, record_every: int, tmp_dir: str, seed: int = 0) -> 
                      "psnr_ours": o["psnr_fine"], "psnr_ref": r["psnr_fine"],
                      "ins_ours": o["ins_loss"], "ins_ref": r["ins_loss"],
                      "total_ours": o["total"], "total_ref": r["total"]})
-    return {"rows": rows, "eval_ours": ours["eval"], "eval_ref": ref["eval"],
+    return rows
+
+
+def run_parity(n_iters: int, record_every: int, tmp_dir: str, seed: int = 0,
+               query: str = "xla") -> Dict:
+    """Ours (--query path) vs the PyTorch reference."""
+    scene, params_c, params_f, record_at, batches = _shared_setup(
+        n_iters, record_every, tmp_dir, seed)
+
+    t0 = time.time()
+    ours = run_ours(params_c, params_f, scene, batches, record_at, query=query)
+    t_ours = time.time() - t0
+    t0 = time.time()
+    ref = run_reference(params_c, params_f, scene, batches, record_at)
+    t_ref = time.time() - t0
+
+    return {"rows": _diff_rows(ours, ref),
+            "eval_ours": ours["eval"], "eval_ref": ref["eval"],
             "wall_ours_s": t_ours, "wall_ref_s": t_ref,
+            "labels": {"ours": f"ours ({query})", "ref": "reference (torch)"},
             "schedule": {"iters": n_iters, "N_train": N_TRAIN, "net": f"{D}x{W}",
-                         "samples": [N_SAMPLES, N_IMPORTANCE], "seed": seed}}
+                         "samples": [N_SAMPLES, N_IMPORTANCE], "seed": seed,
+                         "query": query}}
+
+
+def run_query_parity(n_iters: int, record_every: int, tmp_dir: str,
+                     seed: int = 0) -> Dict:
+    """Pallas-vs-XLA kernel-path training parity (VERDICT r2 item 4): the SAME
+    framework trained twice from identical init/batches, differing only in the
+    point-query implementation. On TPU this compares the compiled production
+    kernel against the compiled XLA path over a real multi-step trajectory."""
+    scene, params_c, params_f, record_at, batches = _shared_setup(
+        n_iters, record_every, tmp_dir, seed)
+
+    t0 = time.time()
+    pal = run_ours(params_c, params_f, scene, batches, record_at, query="pallas")
+    t_pal = time.time() - t0
+    t0 = time.time()
+    xla = run_ours(params_c, params_f, scene, batches, record_at, query="xla")
+    t_xla = time.time() - t0
+
+    return {"rows": _diff_rows(pal, xla),
+            "eval_ours": pal["eval"], "eval_ref": xla["eval"],
+            "wall_ours_s": t_pal, "wall_ref_s": t_xla,
+            "labels": {"ours": "pallas kernel", "ref": "xla path"},
+            "schedule": {"iters": n_iters, "N_train": N_TRAIN, "net": f"{D}x{W}",
+                         "samples": [N_SAMPLES, N_IMPORTANCE], "seed": seed,
+                         "compare": "pallas-vs-xla"}}
 
 
 def write_report(res: Dict, out_md: str) -> None:
+    lo = res.get("labels", {}).get("ours", "ours")
+    lr = res.get("labels", {}).get("ref", "reference")
     lines = [
-        "# Training-trajectory parity vs the PyTorch reference",
+        f"# Training-trajectory parity: {lo} vs {lr}",
         "",
         "Identical init params, identical injected ray batches, perturb=0, identical",
         "Adam + exp LR decay; each side records its own train metrics and evaluates a",
@@ -326,7 +409,7 @@ def write_report(res: Dict, out_md: str) -> None:
         "",
         f"Schedule: {res['schedule']}",
         "",
-        "| iter | PSNR ours | PSNR ref | Δ | ins_loss ours | ins_loss ref | total ours | total ref |",
+        f"| iter | PSNR {lo} | PSNR {lr} | Δ | ins_loss {lo} | ins_loss {lr} | total {lo} | total {lr} |",
         "|---|---|---|---|---|---|---|---|",
     ]
     for r in res["rows"]:
@@ -341,11 +424,10 @@ def write_report(res: Dict, out_md: str) -> None:
         "",
         f"| | PSNR | AP@[.5,.75,.8,.85,.9,.95] |",
         f"|---|---|---|",
-        f"| ours | {eo['psnr']:.3f} | {['%.3f' % a for a in eo['ap']]} |",
-        f"| reference | {er['psnr']:.3f} | {['%.3f' % a for a in er['ap']]} |",
+        f"| {lo} | {eo['psnr']:.3f} | {['%.3f' % a for a in eo['ap']]} |",
+        f"| {lr} | {er['psnr']:.3f} | {['%.3f' % a for a in er['ap']]} |",
         "",
-        f"Wall clock: ours {res['wall_ours_s']:.1f}s, reference {res['wall_ref_s']:.1f}s "
-        "(both on host CPU for this harness).",
+        f"Wall clock: {lo} {res['wall_ours_s']:.1f}s, {lr} {res['wall_ref_s']:.1f}s.",
     ]
     with open(out_md, "w") as f:
         f.write("\n".join(lines) + "\n")
@@ -358,10 +440,20 @@ def main(argv=None) -> int:
     ap.add_argument("--out", default="PARITY.md")
     ap.add_argument("--json-out", default=None)
     ap.add_argument("--tmp", default="/tmp/dmnerf_parity_scene")
+    ap.add_argument("--query", choices=["xla", "pallas"], default="xla",
+                    help="point-query path for the 'ours' side")
+    ap.add_argument("--vs", choices=["reference", "xla"], default="reference",
+                    help="'reference' = torch reference; 'xla' = pallas-vs-xla "
+                         "kernel-path parity (no torch side)")
+    ap.add_argument("--geometry", choices=sorted(GEOMETRIES), default="tiny")
     args = ap.parse_args(argv)
 
+    set_geometry(args.geometry)
     os.makedirs(args.tmp, exist_ok=True)
-    res = run_parity(args.iters, args.record_every, args.tmp)
+    if args.vs == "xla":
+        res = run_query_parity(args.iters, args.record_every, args.tmp)
+    else:
+        res = run_parity(args.iters, args.record_every, args.tmp, query=args.query)
     write_report(res, args.out)
     if args.json_out:
         with open(args.json_out, "w") as f:

@@ -75,6 +75,7 @@ _SHIFT = np.array([-0.030, -0.088, -0.188], np.float32)
 _SCALE = np.array([0.458, 0.448, 0.450], np.float32)
 
 _lpips_cache = {}
+_lpips_warned = [False]
 
 
 def _load_lpips_weights() -> Optional[dict]:
@@ -86,11 +87,28 @@ def _load_lpips_weights() -> Optional[dict]:
     return _lpips_cache[path]
 
 
+def lpips_available() -> bool:
+    """True when the pretrained LPIPS-VGG weights npz is reachable."""
+    return _load_lpips_weights() is not None
+
+
 def lpips_np(img: np.ndarray, gt: np.ndarray) -> float:
     """LPIPS-VGG distance between two [H, W, 3] float images in [0, 1].
-    Returns NaN when pretrained weights are unavailable (documented gate)."""
+    Returns NaN when pretrained weights are unavailable (documented gate); the
+    degraded mode is announced ONCE per process, loudly, instead of silently
+    emitting NaN columns (reference reports real LPIPS, tester.py:91-98)."""
     weights = _load_lpips_weights()
     if weights is None:
+        if not _lpips_warned[0]:
+            _lpips_warned[0] = True
+            import sys
+
+            print(
+                "[metrics] LPIPS: weights absent — reporting NaN. Export them on a "
+                "weights-capable host with `python -m dmnerf_tpu.tools.export_lpips_weights "
+                "lpips_vgg.npz` and set $DMNERF_LPIPS_WEIGHTS (see docs/LPIPS.md).",
+                file=sys.stderr, flush=True,
+            )
         return float("nan")
 
     import jax

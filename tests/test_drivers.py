@@ -1,0 +1,156 @@
+"""End-to-end pytest coverage of the unified eval driver (dmnerf_tpu.test.run_test)
+and the manipulation drivers (VERDICT r2 item 7).
+
+The engine below these drivers is parity-tested elsewhere
+(tests/test_manipulator_parity.py, tests/test_reference_parity.py); these tests pin
+the DRIVER contracts, which previously only the manual verify recipe exercised:
+
+ * artifact formats — test_results.txt is the reference's 9-column layout with a
+   trailing mean row (/root/reference/networks/tester.py:155-165), matching_log.json
+   is a per-view pred->GT dict (tester.py:150-153), PNGs have the scene's H x W;
+ * save-dir naming — render_{path|test}_{iter:06d} / mani_eval_{iter:06d}/<mode> /
+   mani_demo_{iter:06d}/mani_output / mesh_{iter:06d} (reference test_dmsr.py:13-73);
+ * pose plumbing — mani_eval composes tar_pose = trans @ ori_pose
+   (reference manipulator.py:238) via tools.pose_gen + load_mani_poses;
+ * the reference-layout ./data/color_dict.json keyed [dataset][scene]
+   (tester.py:48-50) through load_color_dict.
+
+A checkpoint at init params suffices: the contracts under test are formats and
+plumbing, not image quality.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+
+from dmnerf_tpu.configs import Config
+from dmnerf_tpu.data.synthetic import write_dmsr_scene
+from dmnerf_tpu.render.trainstep import create_train_state
+from dmnerf_tpu.test import load_color_dict, run_test
+from dmnerf_tpu.utils.checkpoint import save_checkpoint
+
+H = W = 32
+INS = 6
+N_TEST_VIEWS = 2
+
+
+@pytest.fixture(scope="module")
+def env(tmp_path_factory):
+    root = tmp_path_factory.mktemp("drivers")
+    datadir = root / "dmsr" / "study"
+    write_dmsr_scene(str(datadir), n_train=3, n_test=N_TEST_VIEWS, H=H, W=W,
+                     n_objects=3, ins_num=INS, mani_modes=["translation"])
+    cfg = Config(
+        expname="drv", basedir=str(root / "logs"), datadir=str(datadir),
+        dataset_type="dmsr", N_samples=8, N_importance=8, N_train=64, N_test=256,
+        near=1.0, far=8.0, netdepth=2, netwidth=32, multires=4, multires_views=2,
+        ins_num=INS, testskip=1, views=2, mesh_grid_dim=20, mesh_level=0.1,
+        use_pallas=False,
+    )
+    state = create_train_state(cfg, jax.random.PRNGKey(0))
+    save_checkpoint(cfg.log_dir, state)
+    return cfg
+
+
+def _assert_results_txt(path, n_views):
+    assert os.path.exists(path), path
+    table = np.loadtxt(path)
+    assert table.shape == (n_views + 1, 9), table.shape  # per-view rows + mean row
+    # mean row aggregates the per-view rows (nanmean for the LPIPS column)
+    got, want = table[-1], np.nanmean(table[:-1], axis=0)
+    mask = ~np.isnan(want)
+    np.testing.assert_allclose(got[mask], want[mask], atol=1e-5)
+
+
+def _png_shape(path):
+    import imageio.v2 as imageio
+
+    return imageio.imread(path).shape
+
+
+def test_run_test_render_artifacts(env):
+    cfg = env.replace(render=True)
+    run_test(cfg)
+    savedir = os.path.join(cfg.log_dir, "render_path_000000")
+    assert os.path.isdir(savedir), os.listdir(cfg.log_dir)
+    _assert_results_txt(os.path.join(savedir, "test_results.txt"), N_TEST_VIEWS)
+    with open(os.path.join(savedir, "matching_log.json")) as f:
+        log = json.load(f)
+    assert len(log) == N_TEST_VIEWS
+    for _, m in log.items():
+        assert all(isinstance(v, int) for v in m.values())
+    for i in range(N_TEST_VIEWS):
+        assert _png_shape(os.path.join(savedir, f"{i:03d}.png"))[:2] == (H, W)
+        assert _png_shape(os.path.join(savedir, f"instance_{i:03d}.png"))[:2] == (H, W)
+        assert _png_shape(os.path.join(savedir, f"{i}_ins_gt.png"))[:2] == (H, W)
+
+
+def test_run_test_mani_eval_artifacts(env):
+    cfg = env.replace(mani_eval=True, mani_mode="translation", target_label=1)
+    run_test(cfg)
+    savedir = os.path.join(cfg.log_dir, "mani_eval_000000", "translation")
+    assert os.path.isdir(savedir), os.listdir(cfg.log_dir)
+    # pose generator wrote the transformation series the driver consumed
+    # (reference pose_generator.py:9-84 -> manipulator.py:238)
+    tm = os.path.join(cfg.datadir, "transformation_matrix.json")
+    assert os.path.exists(tm)
+    with open(tm) as f:
+        trans = json.load(f)
+    assert any(d.get("mode") == "translation" for d in trans["transformations"]), trans
+    n_views = len(
+        [f for f in os.listdir(savedir) if f.endswith("_rgb.png") and "gt" not in f])
+    assert n_views >= 1
+    _assert_results_txt(os.path.join(savedir, "test_results.txt"), n_views)
+    with open(os.path.join(savedir, "matching_log.json")) as f:
+        json.load(f)
+    assert _png_shape(os.path.join(savedir, "0_rgb.png"))[:2] == (H, W)
+    assert _png_shape(os.path.join(savedir, "0_ins.png"))[:2] == (H, W)
+    assert _png_shape(os.path.join(savedir, "0_rgb_gt.png"))[:2] == (H, W)
+
+
+def test_run_test_mani_demo_artifacts(env):
+    cfg = env.replace(mani_demo=True, views=2)
+    run_test(cfg)
+    savedir = os.path.join(cfg.log_dir, "mani_demo_000000", "mani_output")
+    assert os.path.isdir(savedir), os.listdir(cfg.log_dir)
+    for i in range(2):
+        assert _png_shape(os.path.join(savedir, f"{i}_rgb.png"))[:2] == (H, W)
+        assert _png_shape(os.path.join(savedir, f"{i}_ins.png"))[:2] == (H, W)
+        mask = os.path.join(savedir, f"{i}_ins_pred_mask.png")
+        assert _png_shape(mask)[:2] == (H, W)
+
+
+def test_run_test_mesh_artifacts(env):
+    cfg = env.replace(mesh=True)
+    run_test(cfg)
+    savedir = os.path.join(cfg.log_dir, "mesh_000000")
+    ply = os.path.join(savedir, "color_mesh.ply")
+    assert os.path.exists(ply), os.listdir(savedir)
+    with open(ply, "rb") as f:
+        head = f.read(200).decode("latin1")
+    assert head.startswith("ply")
+
+
+def test_load_color_dict_reference_nested_layout(env):
+    """./data/color_dict.json keyed [dataset][scene]
+    (reference networks/tester.py:48-50): datadir <root>/dmsr/study must resolve
+    the nested entry two levels up."""
+    root = os.path.dirname(os.path.dirname(env.datadir))
+    path = os.path.join(root, "color_dict.json")
+    nested = {"dmsr": {"study": {"3": 7, "1": 2}}, "replica": {"room_0": {"0": 0}}}
+    with open(path, "w") as f:
+        json.dump(nested, f)
+    try:
+        got = load_color_dict(env)
+        assert got == {"3": 7, "1": 2}
+    finally:
+        os.remove(path)
+
+
+def test_load_color_dict_fallback_identity(env):
+    got = load_color_dict(env)
+    assert got == {str(i): i for i in range(env.ins_num)}

@@ -97,10 +97,13 @@ def test_pallas_inside_render_pipeline():
                                    atol=3e-5, rtol=3e-5, err_msg=k)
 
 
-def test_pallas_shard_map_matches_single_device():
+@pytest.mark.parametrize("pe_mode", ["kernel", "outside"])
+def test_pallas_shard_map_matches_single_device(pe_mode):
     """The mesh path: GSPMD can't partition a pallas_call, so the kernel is
     shard_map'ed over the ray axis (kernels.fused_mlp mesh=...). One sharded train
-    step on the 8-virtual-device CPU mesh must match the single-device XLA step."""
+    step on the 8-virtual-device CPU mesh must match the single-device XLA step.
+    Parametrized over pe_mode so BOTH kernel variants stay covered under shard_map
+    (ADVICE r2 item 3)."""
     from dmnerf_tpu.configs import Config
     from dmnerf_tpu.parallel.mesh import make_mesh, make_sharded_train_step, shard_batch
     from dmnerf_tpu.render.trainstep import Batch, create_train_state, make_train_step
@@ -127,7 +130,8 @@ def test_pallas_shard_map_matches_single_device():
 
     mesh = make_mesh(n_devices=8, devices=jax.devices("cpu"))
     q_pal = make_pallas_query_fn(multires, multires_views, D, skips,
-                                 tile_fwd=16, tile_bwd=16, interpret=True, mesh=mesh)
+                                 tile_fwd=16, tile_bwd=16, interpret=True, mesh=mesh,
+                                 pe_mode=pe_mode)
     sh_step = make_sharded_train_step(cfg, mesh, query_fn=q_pal)
     s_sh, aux_sh = sh_step(jax.tree_util.tree_map(lambda x: x.copy(), state),
                            shard_batch(mesh, batch), key)
