@@ -236,6 +236,14 @@ def _cast_fn(cache_dtype):
     return (lambda a: a.astype(cache_dtype)) if cache_dtype is not None else (lambda a: a)
 
 
+def _dot_te(eT, b):
+    """Embedding-transposed contraction: eT [E,T] x b [E,n] -> [T,n] (= e @ b).
+    The MXU contracts either operand orientation natively; feeding the embedding
+    column-major avoids ever materializing the row-major [T,E] layout."""
+    return jax.lax.dot_general(eT, b, (((0,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
 def _embed_pair(x, d, Fp, Fd, cast):
     """In-kernel PE: exact-precision frequency products + sin/cos lane-concat."""
     xf, df = _dot_exact(x, Fp), _dot_exact(d, Fd)
@@ -244,9 +252,37 @@ def _embed_pair(x, d, Fp, Fd, cast):
     return e, ed
 
 
-def _forward_core(e, ed, wv, kinds, Wf, Wi, cache_dtype, want_cache):
+def _pe_transposed(xT, FpT, multires, exact):
+    """In-kernel PE over the TRANSPOSED layout xT [3, T] -> eT [Ep, T], f32.
+
+    Lane economics: sin/cos on the VPU are the dominant PE cost, and a [T, 3]
+    layout uses 3 of 128 lanes. Transposed, the point axis fills the lanes.
+    The frequencies are exact octaves 2^f (reference dm_nerf.py:24), so the
+    non-exact path evaluates sin/cos ONLY at the base octave and derives the
+    rest by the double-angle recursion (sin2θ = 2sc, cos2θ = 1-2s²) — 10x fewer
+    transcendentals. Octave f then carries ~2^f·ε_f32 ≈ 1e-4 absolute at f=9,
+    invisible under the bf16 activation cache (quantization step ~2e-3) that
+    compiled kernels store. exact=True (f32 cache / interpret-mode CPU parity
+    tests) computes every octave directly at HIGHEST precision instead."""
+    if exact:
+        xf = _dot_exact(FpT, xT)  # [3*multires, T], row f*3+c = x_c * 2^f
+        return jnp.concatenate([xT, jnp.sin(xf), jnp.cos(xf)], axis=0)
+    s, c = jnp.sin(xT), jnp.cos(xT)
+    sins, coss = [s], [c]
+    for _ in range(multires - 1):
+        s, c = 2.0 * s * c, 1.0 - 2.0 * s * s
+        sins.append(s)
+        coss.append(c)
+    return jnp.concatenate([xT] + sins + coss, axis=0)
+
+
+def _forward_core(e, ed, wv, kinds, Wf, Wi, cache_dtype, want_cache,
+                  transposed=False):
     """One matmul per layer over the permuted/concat operand layout (see module
-    docstring), starting from the already-built embeddings e [T,Ep] / ed [T,Ed].
+    docstring), starting from the already-built embeddings e [T,Ep] / ed [T,Ed]
+    (or, with transposed=True, eT [Ep,T] / edT [Ed,T]: the embedding-consuming
+    layers become a sum of two contractions instead of a lane-concat + matmul;
+    numerically the same f32 accumulation either way).
     Returns (out [T, 4+C], cache-or-None). Cached activations are cast to
     cache_dtype and the *cast* value is used downstream, so forward and
     recompute see identical numerics."""
@@ -254,15 +290,20 @@ def _forward_core(e, ed, wv, kinds, Wf, Wi, cache_dtype, want_cache):
     it = iter(wv)
     h = None
     hs: List[jnp.ndarray] = []
+    e_dim = e.shape[0] if transposed else e.shape[-1]
     for kind in kinds:
         w, b = next(it), next(it)
         if kind == "emb0":
-            inp = e
+            pre = _dot_te(e, w) if transposed else _dot(e, w)
         elif kind == "split":
-            inp = jnp.concatenate([h, e], axis=-1)
+            if transposed:
+                hw = w.shape[0] - e_dim
+                pre = _dot(h, w[:hw]) + _dot_te(e, w[hw:])
+            else:
+                pre = _dot(jnp.concatenate([h, e], axis=-1), w)
         else:
-            inp = h
-        h = cast(jnp.maximum(_dot(inp, w) + b, 0.0))
+            pre = _dot(h, w)
+        h = cast(jnp.maximum(pre + b, 0.0))
         hs.append(h)
 
     whead, bhead = next(it), next(it)
@@ -271,7 +312,11 @@ def _forward_core(e, ed, wv, kinds, Wf, Wi, cache_dtype, want_cache):
     rf, fi = cast(rf), cast(fi)
 
     wrh, brh = next(it), next(it)
-    rh = cast(jnp.maximum(_dot(jnp.concatenate([rf, ed], axis=-1), wrh) + brh, 0.0))
+    if transposed:
+        pre_rh = _dot(rf, wrh[:Wf]) + _dot_te(ed, wrh[Wf:])
+    else:
+        pre_rh = _dot(jnp.concatenate([rf, ed], axis=-1), wrh)
+    rh = cast(jnp.maximum(pre_rh + brh, 0.0))
     wro, bro = next(it), next(it)
     rgb = _dot(rh, wro) + bro
     wih, bih = next(it), next(it)
@@ -344,9 +389,39 @@ def _bwd_kernel_pe(kinds, n_ops, Wf, Wi, cache_dtype, *refs):
     _accumulate_grads(out_refs, grads)
 
 
-def _backward_core(g, wv, cache, kinds, Wf, Wi, cache_dtype):
-    """Parameter cotangents for one tile, from the remat'ed forward cache."""
+def _fwd_kernel_pet(kinds, n_ops, Wf, Wi, cache_dtype, multires, pe_exact, *refs):
+    """pe_mode='kernel_t' forward: transposed coords in, PE fused in-register."""
+    (xT_ref, edT_ref, FpT_ref), wrefs, (out_ref,) = \
+        refs[:3], refs[3:3 + n_ops], refs[3 + n_ops:]
+    cast = _cast_fn(cache_dtype)
+    eT = cast(_pe_transposed(xT_ref[:], FpT_ref[:], multires, pe_exact))
+    out, _ = _forward_core(eT, edT_ref[:], [r[:] for r in wrefs], kinds, Wf, Wi,
+                           cache_dtype, want_cache=False, transposed=True)
+    out_ref[:] = out
+
+
+def _bwd_kernel_pet(kinds, n_ops, Wf, Wi, cache_dtype, multires, pe_exact, *refs):
+    """pe_mode='kernel_t' backward: recomputes the transposed PE per tile."""
+    ins_refs = refs[: 4 + n_ops]
+    out_refs = refs[4 + n_ops:]
+    xT_ref, edT_ref, g_ref, FpT_ref = ins_refs[:4]
+    wrefs = ins_refs[4:]
+    wv = [r[:] for r in wrefs]
+    cast = _cast_fn(cache_dtype)
+    eT = cast(_pe_transposed(xT_ref[:], FpT_ref[:], multires, pe_exact))
+    _, cache = _forward_core(eT, edT_ref[:], wv, kinds, Wf, Wi, cache_dtype,
+                             want_cache=True, transposed=True)
+    grads = _backward_core(g_ref[:], wv, cache, kinds, Wf, Wi, cache_dtype,
+                           transposed=True)
+    _accumulate_grads(out_refs, grads)
+
+
+def _backward_core(g, wv, cache, kinds, Wf, Wi, cache_dtype, transposed=False):
+    """Parameter cotangents for one tile, from the remat'ed forward cache.
+    transposed=True: cache holds eT [Ep,T] / edT [Ed,T]; their dW contributions
+    are plain eT @ d (contracting the point lanes) instead of e^T @ d."""
     e, ed, hs_list = cache["e"], cache["ed"], cache["hs"]
+    emb_dw = (lambda emb, d: _dot(emb, d)) if transposed else _dot_tt
     rf, fi, rh, ih = cache["rf"], cache["fi"], cache["rh"], cache["ih"]
     whead, wrh, wro, wih, wio = cache["heads"]
     h_last = hs_list[-1]
@@ -372,7 +447,10 @@ def _backward_core(g, wv, cache, kinds, Wf, Wi, cache_dtype):
     d_rh_c = cast(d_rh)
     dwro, dbro = _dot_tt(rh, g_rgb_c), jnp.sum(g_rgb, 0, keepdims=True)
     # single dW for the [rf | ed] -> rh linear
-    dwrh = _dot_tt(jnp.concatenate([rf, ed], axis=-1), d_rh_c)
+    if transposed:
+        dwrh = jnp.concatenate([_dot_tt(rf, d_rh_c), emb_dw(ed, d_rh_c)], axis=0)
+    else:
+        dwrh = _dot_tt(jnp.concatenate([rf, ed], axis=-1), d_rh_c)
     dbrh = jnp.sum(d_rh, 0, keepdims=True)
     d_rf = _dot_nt(d_rh_c, wrh[:Wf])
     d_rf_c = cast(d_rf)
@@ -394,13 +472,18 @@ def _backward_core(g, wv, cache, kinds, Wf, Wi, cache_dtype):
         d_pre = d_h * _mask(hs_list[i])
         d_pre_c = cast(d_pre)
         db = jnp.sum(d_pre, 0, keepdims=True)
+        e_dim = e.shape[0] if transposed else e.shape[-1]
         if kind == "emb0":
-            trunk_grads.append([_dot_tt(e, d_pre_c), db])
+            trunk_grads.append([emb_dw(e, d_pre_c), db])
             d_h = None  # no dx into the raw coordinates (structurally unused)
         elif kind == "split":
-            hw = w.shape[0] - e.shape[-1]
-            inp = jnp.concatenate([hs_list[i - 1], e], axis=-1)
-            trunk_grads.append([_dot_tt(inp, d_pre_c), db])
+            hw = w.shape[0] - e_dim
+            if transposed:
+                dw = jnp.concatenate(
+                    [_dot_tt(hs_list[i - 1], d_pre_c), emb_dw(e, d_pre_c)], axis=0)
+            else:
+                dw = _dot_tt(jnp.concatenate([hs_list[i - 1], e], axis=-1), d_pre_c)
+            trunk_grads.append([dw, db])
             d_h = _dot_nt(d_pre_c, w[:hw])
         else:
             trunk_grads.append([_dot_tt(hs_list[i - 1], d_pre_c), db])
@@ -411,6 +494,52 @@ def _backward_core(g, wv, cache, kinds, Wf, Wi, cache_dtype):
         grads.extend(lg)
     grads += [dwhead, dbhead, dwrh, dbrh, dwro, dbro, dwih, dbih, dwio, dbio]
     return grads
+
+
+def _const_block(shape):
+    return pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
+                        memory_space=pltpu.VMEM)
+
+
+def _points_call(kernel_fn, tile, pins, consts, packed, out, interpret):
+    """Shared pad + pallas_call scaffolding for every fused-kernel variant, so
+    tiling/compiler-parameter fixes land in exactly one place (ADVICE r2 #1).
+
+    pins: [(array, axis)] — per-point operands, tiled along their point `axis`
+    (0: rows [P, w]; 1: columns [w, P]) and zero-padded to the tile grid.
+    consts: small whole-array operands (frequency matrices).
+    packed: weight operands (whole-array blocks, VMEM-resident across the grid).
+    out: ("tile", C4) for a [P, C4] row-tiled forward output, or ("grads",) for
+    the backward's parameter-cotangent accumulators (shapes of `packed`)."""
+    P = pins[0][0].shape[pins[0][1]]
+    Pp = _round_up(max(P, 1), tile)
+    arrs, specs = [], []
+    for a, ax in pins:
+        pad = [(0, 0), (0, 0)]
+        pad[ax] = (0, Pp - P)
+        arrs.append(jnp.pad(a, pad))
+        w = a.shape[1 - ax]
+        if ax == 0:
+            specs.append(pl.BlockSpec((tile, w), lambda i: (i, 0),
+                                      memory_space=pltpu.VMEM))
+        else:
+            specs.append(pl.BlockSpec((w, tile), lambda i: (0, i),
+                                      memory_space=pltpu.VMEM))
+    specs += [_const_block(c.shape) for c in consts]
+    specs += [_const_block(w.shape) for w in packed]
+    if out[0] == "tile":
+        out_shape = jax.ShapeDtypeStruct((Pp, out[1]), jnp.float32)
+        out_specs = pl.BlockSpec((tile, out[1]), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM)
+    else:
+        out_shape = [jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in packed]
+        out_specs = [_const_block(w.shape) for w in packed]
+    res = pl.pallas_call(
+        kernel_fn, out_shape=out_shape, grid=(Pp // tile,),
+        in_specs=specs, out_specs=out_specs,
+        compiler_params=_COMPILER_PARAMS, interpret=interpret,
+    )(*arrs, *consts, *packed)
+    return res[:P] if out[0] == "tile" else res
 
 
 def _accumulate_grads(out_refs, grads):
@@ -428,17 +557,66 @@ def _accumulate_grads(out_refs, grads):
             ref[:] = ref[:] + val
 
 
+def make_pe_pallas(multires: int, out_dtype, tile: int = 8192, interpret: bool = False):
+    """Single-pass Pallas positional encoding: x [P, 3] -> [P, 3*(1+2*multires)].
+
+    Why a kernel for an elementwise op: XLA materializes the concat operands of
+    [x | sin(xf) | cos(xf)] (plus the f32 intermediates) through HBM — measured
+    ~4.9 ms for the flagship fine pass [589824, 63] vs ~0.2 ms of actual
+    bandwidth. Here the frequency product, sin/cos and lane-concat all happen in
+    VMEM and exactly one bf16 (or f32) embedding array is ever written.
+
+    Numerics match `_pe_outside` bit-for-bit in f32: the frequency matrix holds
+    exact powers of two and the product runs at HIGHEST precision (`_dot_exact`),
+    so phases are exact — the same rule the in-kernel pe_mode='kernel' path uses
+    (see `_dot_exact` docstring for the bf16-rounding failure this avoids).
+
+    NOTE: pe_mode='kernel_t' (the production default) is faster still — it fuses
+    a transposed double-angle PE into the main kernels (see `_pe_transposed`) and
+    never materializes the embedding at all. This standalone kernel remains the
+    'outside' path: exact octaves, row-major output."""
+    F = jnp.asarray(_freq_matrix(multires))
+    Ep = _emb_dim(multires)
+
+    def kernel(x_ref, F_ref, out_ref):
+        x = x_ref[:]
+        xf = _dot_exact(x, F_ref[:])
+        out_ref[:] = jnp.concatenate(
+            [x, jnp.sin(xf), jnp.cos(xf)], axis=-1).astype(out_dtype)
+
+    def pe(x):
+        P = x.shape[0]
+        Pp = _round_up(max(P, 1), tile)
+        xp = jnp.pad(x, ((0, Pp - P), (0, 0)))
+        out = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((Pp, Ep), out_dtype),
+            grid=(Pp // tile,),
+            in_specs=[
+                pl.BlockSpec((tile, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec(F.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((tile, Ep), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            compiler_params=_COMPILER_PARAMS,
+            interpret=interpret,
+        )(xp, F)
+        return out[:P]
+
+    return pe
+
+
 def make_pallas_query_fn(
     multires: int = 10,
     multires_views: int = 4,
     D: int = 8,
     skips: Tuple[int, ...] = (4,),
-    tile_fwd: int = 2048,
-    tile_bwd: int = 2048,
+    tile_fwd: int = 4096,
+    tile_bwd: int = 4096,
     interpret: bool = False,
     mesh=None,
     cache_dtype=None,
-    pe_mode: str = "outside",
+    pe_mode: str = "kernel_t",
 ):
     """Drop-in replacement for core.pipeline.make_xla_query_fn backed by the fused
     Pallas kernels. query(params, pts [N,S,3], viewdirs [N,3]) -> raw [N,S,4+C].
@@ -459,22 +637,31 @@ def make_pallas_query_fn(
     (the sharded train step already enforces this for the batch).
 
     pe_mode: where the positional encoding is computed.
+      'kernel_t'— (default) coords ship transposed [3, P]; both kernels fuse a
+                  lane-parallel double-angle PE (_pe_transposed: sin/cos at the
+                  base octave only, higher octaves by recursion) and consume the
+                  embedding column-major via dot_general — no embedding ever
+                  touches HBM and the transcendental count drops 10x. The
+                  viewdir embedding is computed per-RAY in XLA and repeated.
       'kernel'  — in-register inside both kernels (exact-precision freq matmul +
-                  sin/cos per tile). No embedding ever touches HBM.
-      'outside' — XLA computes e/ed once in f32 (exact powers-of-two scaling,
-                  identical phases), casts to the compute dtype, and the kernels
-                  become pure matmul chains over [T, Ep]/[T, Ed] inputs. Costs
-                  ~106 MB/pass of HBM (~0.13 ms at v5e bandwidth) but removes the
-                  transcendentals + lane-concats that serialize with the MXU in
-                  EVERY tile of BOTH kernels, and dedups the viewdir embedding
-                  per-ray instead of per-point."""
+                  sin/cos per [T,30] tile). No embedding touches HBM, but the
+                  full per-octave transcendentals serialize with the MXU.
+      'outside' — a standalone Pallas PE kernel (make_pe_pallas) materializes
+                  e [P, Ep] once in the compute dtype; the main kernels become
+                  pure matmul chains. Costs ~106 MB/pass of HBM plus the full
+                  per-octave transcendentals, but keeps the embedding exact —
+                  the conservative choice for numerics experiments."""
     assert multires > 0 and multires_views > 0, "pallas path needs PE enabled"
-    assert pe_mode in ("kernel", "outside"), pe_mode
+    assert pe_mode in ("kernel", "outside", "kernel_t"), pe_mode
     kinds = tuple(_layer_kinds(D, tuple(skips)))
     Fp = jnp.asarray(_freq_matrix(multires))
     Fd = jnp.asarray(_freq_matrix(multires_views))
+    FpT = jnp.asarray(_freq_matrix(multires).T)
     if cache_dtype is None:
         cache_dtype = jnp.float32 if interpret else jnp.bfloat16
+    # exact per-octave sin/cos whenever the activation cache is full-precision
+    # (interpret-mode CPU parity tests); double-angle otherwise (see _pe_transposed)
+    pe_exact = jnp.dtype(cache_dtype).itemsize >= 4
 
     def _cast_weights(packed):
         """Ship weight matrices (even slots — _pack alternates [w, b]) in the
@@ -485,77 +672,41 @@ def make_pallas_query_fn(
         return [w.astype(cache_dtype) if i % 2 == 0 else w
                 for i, w in enumerate(packed)]
 
-    def _const_spec(shape):
-        return pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM)
+    def _prep(params):
+        packed = _cast_weights(_pack(params, multires, multires_views, D, tuple(skips)))
+        Wf = params["rgb_feat_w"].shape[1]
+        Wi = params["ins_feat_w"].shape[1]
+        C4 = params["ins_out_w"].shape[1] + 4
+        return packed, Wf, Wi, C4
 
-    def _tile_spec(tile, width):
-        return pl.BlockSpec((tile, width), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    def _unpack(dws, params):
+        return _unpack_grads(dws, params, multires, multires_views, D, tuple(skips))
 
+    # ---- pe_mode='kernel': coords in, exact PE in-register, both kernels ----
     @jax.custom_vjp
     def query_flat(params, pts, dirs):
         return _fwd(params, pts, dirs)
 
     def _fwd(params, pts, dirs):
-        packed = _cast_weights(_pack(params, multires, multires_views, D, tuple(skips)))
-        Wf = params["rgb_feat_w"].shape[1]
-        Wi = params["ins_feat_w"].shape[1]
-        P = pts.shape[0]
-        C4 = params["ins_out_w"].shape[1] + 4
-        Pp = _round_up(max(P, 1), tile_fwd)
-        pad = Pp - P
-        ptsp = jnp.pad(pts, ((0, pad), (0, 0)))
-        dirsp = jnp.pad(dirs, ((0, pad), (0, 0)))
-        n_ops = len(packed)
-        out = pl.pallas_call(
-            functools.partial(_fwd_kernel, kinds, n_ops, Wf, Wi, cache_dtype),
-            out_shape=jax.ShapeDtypeStruct((Pp, C4), jnp.float32),
-            grid=(Pp // tile_fwd,),
-            in_specs=[
-                _tile_spec(tile_fwd, 3), _tile_spec(tile_fwd, 3),
-                _const_spec(Fp.shape), _const_spec(Fd.shape),
-                *[_const_spec(w.shape) for w in packed],
-            ],
-            out_specs=_tile_spec(tile_fwd, C4),
-            compiler_params=_COMPILER_PARAMS,
-            interpret=interpret,
-        )(ptsp, dirsp, Fp, Fd, *packed)
-        return out[:P]
+        packed, Wf, Wi, C4 = _prep(params)
+        kern = functools.partial(_fwd_kernel, kinds, len(packed), Wf, Wi, cache_dtype)
+        return _points_call(kern, tile_fwd, [(pts, 0), (dirs, 0)], [Fp, Fd],
+                            packed, ("tile", C4), interpret)
 
     def _fwd_rule(params, pts, dirs):
         return _fwd(params, pts, dirs), (params, pts, dirs)
 
     def _bwd_rule(res, g):
         params, pts, dirs = res
-        packed = _cast_weights(_pack(params, multires, multires_views, D, tuple(skips)))
-        Wf = params["rgb_feat_w"].shape[1]
-        Wi = params["ins_feat_w"].shape[1]
-        P = pts.shape[0]
-        C4 = params["ins_out_w"].shape[1] + 4
-        Pp = _round_up(max(P, 1), tile_bwd)
-        pad = Pp - P
-        ptsp = jnp.pad(pts, ((0, pad), (0, 0)))
-        dirsp = jnp.pad(dirs, ((0, pad), (0, 0)))
-        gp = jnp.pad(g, ((0, pad), (0, 0)))  # zero rows: padded points contribute 0
-        n_ops = len(packed)
-        dws = pl.pallas_call(
-            functools.partial(_bwd_kernel, kinds, n_ops, Wf, Wi, cache_dtype),
-            out_shape=[jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in packed],
-            grid=(Pp // tile_bwd,),
-            in_specs=[
-                _tile_spec(tile_bwd, 3), _tile_spec(tile_bwd, 3), _tile_spec(tile_bwd, C4),
-                _const_spec(Fp.shape), _const_spec(Fd.shape),
-                *[_const_spec(w.shape) for w in packed],
-            ],
-            out_specs=[_const_spec(w.shape) for w in packed],
-            compiler_params=_COMPILER_PARAMS,
-            interpret=interpret,
-        )(ptsp, dirsp, gp, Fp, Fd, *packed)
-        dparams = _unpack_grads(dws, params, multires, multires_views, D, tuple(skips))
-        return dparams, jnp.zeros_like(pts), jnp.zeros_like(dirs)
+        packed, Wf, Wi, C4 = _prep(params)
+        kern = functools.partial(_bwd_kernel, kinds, len(packed), Wf, Wi, cache_dtype)
+        dws = _points_call(kern, tile_bwd, [(pts, 0), (dirs, 0), (g, 0)], [Fp, Fd],
+                           packed, ("grads",), interpret)
+        return _unpack(dws, params), jnp.zeros_like(pts), jnp.zeros_like(dirs)
 
     query_flat.defvjp(_fwd_rule, _bwd_rule)
 
-    # ---- pe_mode='outside': embeddings built by XLA, kernels are matmul-only ----
+    # ---- pe_mode='outside': embeddings built outside, kernels matmul-only ----
     Ep, Ed = _emb_dim(multires), _emb_dim(multires_views)
 
     def _pe_outside(x, multires_):
@@ -571,71 +722,75 @@ def make_pallas_query_fn(
         return _fwd_pe(params, e, ed)
 
     def _fwd_pe(params, e, ed):
-        packed = _cast_weights(_pack(params, multires, multires_views, D, tuple(skips)))
-        Wf = params["rgb_feat_w"].shape[1]
-        Wi = params["ins_feat_w"].shape[1]
-        P = e.shape[0]
-        C4 = params["ins_out_w"].shape[1] + 4
-        Pp = _round_up(max(P, 1), tile_fwd)
-        pad = Pp - P
-        ep = jnp.pad(e, ((0, pad), (0, 0)))
-        edp = jnp.pad(ed, ((0, pad), (0, 0)))
-        n_ops = len(packed)
-        out = pl.pallas_call(
-            functools.partial(_fwd_kernel_pe, kinds, n_ops, Wf, Wi, cache_dtype),
-            out_shape=jax.ShapeDtypeStruct((Pp, C4), jnp.float32),
-            grid=(Pp // tile_fwd,),
-            in_specs=[
-                _tile_spec(tile_fwd, Ep), _tile_spec(tile_fwd, Ed),
-                *[_const_spec(w.shape) for w in packed],
-            ],
-            out_specs=_tile_spec(tile_fwd, C4),
-            compiler_params=_COMPILER_PARAMS,
-            interpret=interpret,
-        )(ep, edp, *packed)
-        return out[:P]
+        packed, Wf, Wi, C4 = _prep(params)
+        kern = functools.partial(_fwd_kernel_pe, kinds, len(packed), Wf, Wi, cache_dtype)
+        return _points_call(kern, tile_fwd, [(e, 0), (ed, 0)], [],
+                            packed, ("tile", C4), interpret)
 
     def _fwd_rule_pe(params, e, ed):
         return _fwd_pe(params, e, ed), (params, e, ed)
 
     def _bwd_rule_pe(res, g):
         params, e, ed = res
-        packed = _cast_weights(_pack(params, multires, multires_views, D, tuple(skips)))
-        Wf = params["rgb_feat_w"].shape[1]
-        Wi = params["ins_feat_w"].shape[1]
-        P = e.shape[0]
-        C4 = params["ins_out_w"].shape[1] + 4
-        Pp = _round_up(max(P, 1), tile_bwd)
-        pad = Pp - P
-        ep = jnp.pad(e, ((0, pad), (0, 0)))
-        edp = jnp.pad(ed, ((0, pad), (0, 0)))
-        gp = jnp.pad(g, ((0, pad), (0, 0)))  # zero rows: padded points contribute 0
-        n_ops = len(packed)
-        dws = pl.pallas_call(
-            functools.partial(_bwd_kernel_pe, kinds, n_ops, Wf, Wi, cache_dtype),
-            out_shape=[jax.ShapeDtypeStruct(w.shape, jnp.float32) for w in packed],
-            grid=(Pp // tile_bwd,),
-            in_specs=[
-                _tile_spec(tile_bwd, Ep), _tile_spec(tile_bwd, Ed), _tile_spec(tile_bwd, C4),
-                *[_const_spec(w.shape) for w in packed],
-            ],
-            out_specs=[_const_spec(w.shape) for w in packed],
-            compiler_params=_COMPILER_PARAMS,
-            interpret=interpret,
-        )(ep, edp, gp, *packed)
-        dparams = _unpack_grads(dws, params, multires, multires_views, D, tuple(skips))
-        return dparams, jnp.zeros_like(e), jnp.zeros_like(ed)
+        packed, Wf, Wi, C4 = _prep(params)
+        kern = functools.partial(_bwd_kernel_pe, kinds, len(packed), Wf, Wi, cache_dtype)
+        dws = _points_call(kern, tile_bwd, [(e, 0), (ed, 0), (g, 0)], [],
+                           packed, ("grads",), interpret)
+        return _unpack(dws, params), jnp.zeros_like(e), jnp.zeros_like(ed)
 
     query_flat_pe.defvjp(_fwd_rule_pe, _bwd_rule_pe)
 
+    # ---- pe_mode='kernel_t': transposed coords in, fused double-angle PE ----
+    @jax.custom_vjp
+    def query_flat_pet(params, xT, edT):
+        return _fwd_pet(params, xT, edT)
+
+    def _fwd_pet(params, xT, edT):
+        packed, Wf, Wi, C4 = _prep(params)
+        kern = functools.partial(_fwd_kernel_pet, kinds, len(packed), Wf, Wi,
+                                 cache_dtype, multires, pe_exact)
+        return _points_call(kern, tile_fwd, [(xT, 1), (edT, 1)], [FpT],
+                            packed, ("tile", C4), interpret)
+
+    def _fwd_rule_pet(params, xT, edT):
+        return _fwd_pet(params, xT, edT), (params, xT, edT)
+
+    def _bwd_rule_pet(res, g):
+        params, xT, edT = res
+        packed, Wf, Wi, C4 = _prep(params)
+        kern = functools.partial(_bwd_kernel_pet, kinds, len(packed), Wf, Wi,
+                                 cache_dtype, multires, pe_exact)
+        dws = _points_call(kern, tile_bwd, [(xT, 1), (edT, 1), (g, 0)], [FpT],
+                           packed, ("grads",), interpret)
+        return _unpack(dws, params), jnp.zeros_like(xT), jnp.zeros_like(edT)
+
+    query_flat_pet.defvjp(_fwd_rule_pet, _bwd_rule_pet)
+
+    pe_points = make_pe_pallas(multires, cache_dtype,
+                               tile=(tile_fwd if interpret else max(tile_fwd, 8192)),
+                               interpret=interpret)
+
     def query(params, pts, viewdirs):
         N, S, _ = pts.shape
-        if pe_mode == "outside":
+        if pe_mode == "kernel_t":
             # rays/z-vals carry no gradient in every consumer (stop_gradient /
-            # data — reference render.py:66-68), so cut the PE out of the
-            # autodiff graph entirely; the viewdir embedding is per-RAY (N sin/cos
-            # evaluations, not N*S) and broadcast to points afterwards.
-            e = _pe_outside(pts.reshape(N * S, 3), multires).astype(cache_dtype)
+            # data — reference render.py:66-68), so the PE sits outside autodiff.
+            # Coordinates ship TRANSPOSED [3, P] (points fill the VPU lanes for
+            # the in-kernel double-angle PE); the per-ray viewdir embedding is
+            # computed once in XLA (N sin/cos evaluations, not N*S) and repeated
+            # per sample along the lane axis. Coordinates stay f32 — bf16 coords
+            # would corrupt the high-octave phases (see _dot_exact).
+            xT = pts.reshape(N * S, 3).T
+            edr = _pe_outside(viewdirs, multires_views).astype(cache_dtype)
+            edT = jnp.repeat(edr.T, S, axis=1)
+            raw = query_flat_pet(params, jax.lax.stop_gradient(xT),
+                                 jax.lax.stop_gradient(edT))
+            return raw.reshape(N, S, -1)
+        if pe_mode == "outside":
+            # the point embedding [N*S, Ep] is built by its own single-pass
+            # Pallas kernel (make_pe_pallas); the per-ray [N, Ed] viewdir
+            # embedding is tiny and stays in XLA.
+            e = pe_points(pts.reshape(N * S, 3))
             edr = _pe_outside(viewdirs, multires_views).astype(cache_dtype)
             ed = jnp.broadcast_to(edr[:, None, :], (N, S, Ed)).reshape(N * S, Ed)
             raw = query_flat_pe(params, jax.lax.stop_gradient(e),

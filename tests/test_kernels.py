@@ -38,7 +38,7 @@ def _setup(multires, multires_views, D, W, skips, ins_num, N=6, S=8, seed=0,
     return params, pts, dirs, q_xla, q_pal
 
 
-@pytest.mark.parametrize("pe_mode", ["kernel", "outside"])
+@pytest.mark.parametrize("pe_mode", ["kernel", "outside", "kernel_t"])
 @pytest.mark.parametrize("case", CASES)
 def test_pallas_forward_matches_xla(case, pe_mode):
     params, pts, dirs, q_xla, q_pal = _setup(*case, pe_mode=pe_mode)
@@ -48,7 +48,7 @@ def test_pallas_forward_matches_xla(case, pe_mode):
     np.testing.assert_allclose(got, want, atol=2e-5, rtol=2e-5)
 
 
-@pytest.mark.parametrize("pe_mode", ["kernel", "outside"])
+@pytest.mark.parametrize("pe_mode", ["kernel", "outside", "kernel_t"])
 @pytest.mark.parametrize("case", CASES)
 def test_pallas_param_grads_match_xla(case, pe_mode):
     params, pts, dirs, q_xla, q_pal = _setup(*case, pe_mode=pe_mode)
@@ -97,7 +97,7 @@ def test_pallas_inside_render_pipeline():
                                    atol=3e-5, rtol=3e-5, err_msg=k)
 
 
-@pytest.mark.parametrize("pe_mode", ["kernel", "outside"])
+@pytest.mark.parametrize("pe_mode", ["kernel", "outside", "kernel_t"])
 def test_pallas_shard_map_matches_single_device(pe_mode):
     """The mesh path: GSPMD can't partition a pallas_call, so the kernel is
     shard_map'ed over the ray axis (kernels.fused_mlp mesh=...). One sharded train
