@@ -195,6 +195,42 @@ def bench_render(precision: str) -> dict:
             "image": f"{RENDER_H}x{RENDER_W}"}
 
 
+def bench_mani_render(precision: str) -> dict:
+    """Manipulation-render throughput: the two-pass union-z edit pipeline at one
+    rigid target over a full image — the reference's single most expensive path
+    (~3x a plain render: ~6 MLP sweeps per chunk, networks/manipulator.py:245-267),
+    previously unbenchmarked (VERDICT r2 'what's weak' #7)."""
+    import jax
+    import jax.numpy as jnp
+
+    cfg = _make_cfg(precision)
+    from dmnerf_tpu.core.rays import rays_from_K
+    from dmnerf_tpu.render.manipulator import make_manipulator_renderer
+    from dmnerf_tpu.render.trainstep import create_train_state
+
+    state = create_train_state(cfg, jax.random.PRNGKey(0))
+    mani = make_manipulator_renderer(cfg, n_targets=1)
+    K = jnp.asarray([[300.0, 0, RENDER_W / 2], [0, -300.0, RENDER_H / 2], [0, 0, -1.0]])
+    ro, rd = rays_from_K(RENDER_H, RENDER_W, K, jnp.eye(4))
+    ro, rd = ro.reshape(-1, 3), rd.reshape(-1, 3)
+    # inverse-transformed target bundle for a rigid translation (mani_eval pose math)
+    tar_o, tar_d = (ro - jnp.asarray([0.0, 0.25, 0.0]))[None], rd[None]
+
+    out = mani(state.params_coarse, state.params_fine, ro, rd, tar_o, tar_d, (1,))
+    jax.block_until_ready(out["rgb"])
+    _ = float(jnp.sum(out["rgb"]))  # execution fence under the axon tunnel
+    t0 = time.perf_counter()
+    for _ in range(RENDER_REPS):
+        out = mani(state.params_coarse, state.params_fine, ro, rd, tar_o, tar_d, (1,))
+    _ = float(jnp.sum(out["rgb"]))
+    dt = (time.perf_counter() - t0) / RENDER_REPS
+    n_rays = RENDER_H * RENDER_W
+    log(f"[bench] mani_render {precision}: {dt*1e3:.1f} ms/image ({RENDER_H}x{RENDER_W}, "
+        f"1 target), {n_rays/dt:,.0f} rays/s")
+    return {"ms_per_image": round(dt * 1e3, 1), "rays_per_sec": round(n_rays / dt, 1),
+            "image": f"{RENDER_H}x{RENDER_W}", "n_targets": 1}
+
+
 def bench_kernel_parity() -> dict:
     """COMPILED Pallas fused kernel vs XLA path at the flagship fine-pass shape —
     the on-chip regression net for grid/tiling bugs (interpret-mode CPU tests can't
@@ -373,6 +409,10 @@ def main():
 
     detail["train_fp32"] = bench_train("float32")
     detail["render_fp32"] = bench_render("float32")
+    try:
+        detail["mani_render_fp32"] = bench_mani_render("float32")
+    except Exception as e:
+        detail["mani_render_fp32"] = {"error": repr(e)}
     try:
         detail["train_bf16"] = bench_train("bfloat16")
         detail["render_bf16"] = bench_render("bfloat16")

@@ -338,8 +338,11 @@ def _forward_core(e, ed, wv, kinds, Wf, Wi, cache_dtype, want_cache,
 
 # The Mosaic scoped-VMEM default is 16 MiB; v5e has 128 MiB physical VMEM.
 # Larger tiles amortize per-grid-step overhead and widen the MXU's M dimension,
-# so let the kernels use most of the chip's VMEM.
-_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+# so let the kernels use most of the chip's VMEM. 112 MiB: the tile_bwd=8192
+# backward peaks at ~100.4 MiB of scoped stack depending on the surrounding
+# graph (observed 340 KB over a 100 MiB limit under value_and_grad) — leave
+# real headroom above the observed peak, below the 128 MiB physical.
+_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=112 * 1024 * 1024)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -612,7 +615,7 @@ def make_pallas_query_fn(
     D: int = 8,
     skips: Tuple[int, ...] = (4,),
     tile_fwd: int = 4096,
-    tile_bwd: int = 4096,
+    tile_bwd: int = 8192,
     interpret: bool = False,
     mesh=None,
     cache_dtype=None,

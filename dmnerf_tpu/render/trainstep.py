@@ -108,8 +108,15 @@ def compute_losses(
         ins_coarse, ins_fine, target_i = info["ins_coarse"], info["ins_fine"], batch.target_i
         ray_mask = batch.target_valid
 
-    ins_loss_coarse, vce_c, ice_c, vsiou_c = ins_criterion(ins_coarse, target_i, cfg.ins_num, ray_mask)
-    ins_loss_fine, vce_f, ice_f, vsiou_f = ins_criterion(ins_fine, target_i, cfg.ins_num, ray_mask)
+    # coarse+fine instance losses batched under ONE vmap: the Hungarian solves —
+    # serialized lax.while_loop latency, the single largest non-matmul cost in the
+    # step — run in lockstep (total iterations = max of the two, not the sum).
+    # Identical math to two separate ins_criterion calls (reference train_dmsr.py:41-50).
+    (ins_losses, vces, ices, vsious) = jax.vmap(
+        lambda p: ins_criterion(p, target_i, cfg.ins_num, ray_mask)
+    )(jnp.stack([ins_coarse, ins_fine]))
+    ins_loss_coarse, ins_loss_fine = ins_losses[0], ins_losses[1]
+    vce_f, ice_f, vsiou_f = vces[1], ices[1], vsious[1]
 
     total = rgb_loss_coarse + rgb_loss_fine + ins_loss_coarse + ins_loss_fine
     emptiness = jnp.zeros((), total.dtype)
