@@ -38,3 +38,25 @@ def test_training_trajectory_tracks_reference(tmp_path):
     eo, er = res["eval_ours"], res["eval_ref"]
     assert abs(eo["psnr"] - er["psnr"]) <= 0.5
     assert abs(eo["ap"][0] - er["ap"][0]) <= 0.26  # one 1/4-object flip allowed
+
+
+def test_kernel_path_trajectory_matches_xla(tmp_path):
+    """VERDICT r2 item 4 gate: the Pallas kernel query path and the XLA query
+    path, trained from identical init/batches, must produce the same trajectory
+    (same framework both sides — only the point-query implementation differs;
+    interpret-mode kernels on CPU, the committed docs/PARITY_KERNEL.md carries
+    the compiled flagship-geometry TPU run of the same harness)."""
+    from dmnerf_tpu.tools.train_parity import run_query_parity
+
+    res = run_query_parity(n_iters=60, record_every=20, tmp_dir=str(tmp_path))
+    assert res["rows"], "no checkpoints recorded"
+    for r in res["rows"]:
+        d = abs(r["psnr_ours"] - r["psnr_ref"])
+        assert d <= 0.1, (
+            f"iter {r['iter']}: kernel-vs-xla train PSNR diverged by {d:.3f} dB")
+        dt = abs(r["total_ours"] - r["total_ref"])
+        assert dt <= 0.02 * max(abs(r["total_ref"]), 1.0), (
+            f"iter {r['iter']}: total loss diverged by {dt:.4f}")
+    eo, er = res["eval_ours"], res["eval_ref"]
+    assert abs(eo["psnr"] - er["psnr"]) <= 0.3
+    assert abs(eo["ap"][0] - er["ap"][0]) <= 1e-6
