@@ -118,12 +118,22 @@ class Config:
     profile_steps: int = 5        # number of steps in the trace window
     multihost: bool = False       # call jax.distributed.initialize() before mesh
                                   # creation (also via $DMNERF_MULTIHOST=1)
+    steps_per_dispatch: int = 1   # >1: the train driver fuses this many
+                                  # sample+step iterations into one lax.scan
+                                  # dispatch (amortizes per-dispatch host/RPC
+                                  # overhead, ~1-1.6 ms/step on a tunneled chip).
+                                  # RNG stream, prints, checkpoints and eval
+                                  # boundaries stay byte-identical to =1 (packs
+                                  # containing a save/test boundary fall back to
+                                  # single steps). Single-device path only.
 
     def __post_init__(self):
         # The reference ships tolerance/deta_w with default=None (config.py:110-112) and
         # crashes with a TypeError if over_penalize is set without them; a zero deta_w
         # is worse here — exp(-0/0) = NaN silently kills the instance head (the Gaussian
         # has zero width). Fail loudly at config time instead.
+        if self.steps_per_dispatch < 1:
+            raise ValueError(f"steps_per_dispatch must be >= 1, got {self.steps_per_dispatch}")
         if self.penalize and (self.deta_w <= 0.0 or self.tolerance <= 0.0):
             raise ValueError(
                 "penalize/over_penalize requires tolerance > 0 and deta_w > 0 "

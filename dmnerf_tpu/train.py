@@ -64,6 +64,7 @@ def build_sampler_and_step(cfg: Config, scene: SceneData):
         )
         n_ins = None
 
+    packed = None
     if n_devices > 1 and cfg.N_train % n_devices == 0:
         from dmnerf_tpu.parallel.mesh import make_mesh, make_sharded_train_step
 
@@ -72,7 +73,39 @@ def build_sampler_and_step(cfg: Config, scene: SceneData):
         print(f"[train] sharded over {n_devices}-device mesh {mesh.shape}")
     else:
         step = make_train_step(cfg, N_ins=n_ins)
-    return sampler, step, n_ins
+        if cfg.steps_per_dispatch > 1:
+            packed = make_packed_steps(cfg, sampler, n_ins)
+    return sampler, step, n_ins, packed
+
+
+def make_packed_steps(cfg: Config, sampler, n_ins):
+    """Fuse P = steps_per_dispatch sample+step iterations into one lax.scan
+    dispatch. The body splits the carried key exactly like the driver loop
+    (key -> key, k_batch, k_step), so the RNG stream — and therefore every
+    batch and parameter trajectory — is byte-identical to unpacked training.
+    Returns (packed_fn(state, key) -> (state, key, auxs[P]), P_eff) where
+    P_eff divides i_print so print boundaries always land on pack starts."""
+    import math
+
+    import functools
+
+    P = math.gcd(cfg.steps_per_dispatch, cfg.i_print)
+    if P <= 1:
+        return None
+    raw_step = make_train_step(cfg, N_ins=n_ins, jit=False)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def packed(state, key):
+        def body(carry, _):
+            st, k = carry
+            k, k_batch, k_step = jax.random.split(k, 3)
+            st, aux = raw_step(st, sampler(k_batch), k_step)
+            return (st, k), aux
+
+        (state, key), auxs = jax.lax.scan(body, (state, key), None, length=P)
+        return state, key, auxs
+
+    return packed, P
 
 
 def train(cfg: Config, scene: SceneData | None = None) -> None:
@@ -109,13 +142,28 @@ def train(cfg: Config, scene: SceneData | None = None) -> None:
         if restored is not None:
             state = restored
 
-    sampler, step_fn, _ = build_sampler_and_step(cfg, scene)
+    sampler, step_fn, _, packed = build_sampler_and_step(cfg, scene)
+    P = packed[1] if packed is not None else 1
+
+    def pack_ok(i: int) -> bool:
+        """A pack [i, i+P) may replace P single steps only when it starts on a
+        pack boundary, fits the schedule, and contains no checkpoint/eval
+        boundary (those must observe the state mid-pack — fall back to single
+        steps there so artifacts stay byte-identical). Print boundaries are
+        safe: P | i_print, so they land on pack starts and use auxs[0]."""
+        if i % P != 0 or i + P > cfg.N_iters or cfg.profile_dir is not None:
+            return False
+        return not any(
+            j > 0 and (j % cfg.i_save == 0 or j % cfg.i_test == 0)
+            for j in range(i, i + P)
+        )
 
     start = int(state.step)
     t_last = time.time()
     rays_done = 0
     profiling = False
-    for i in range(start, cfg.N_iters):
+    i = start
+    while i < cfg.N_iters:
         if cfg.profile_dir is not None:
             # xprof-compatible trace of a short post-compile step window (SURVEY §5)
             if i == cfg.profile_start:
@@ -126,10 +174,16 @@ def train(cfg: Config, scene: SceneData | None = None) -> None:
                 jax.profiler.stop_trace()
                 profiling = False
                 print(f"[train] wrote profiler trace to {cfg.profile_dir}")
-        key, k_batch, k_step = jax.random.split(key, 3)
-        batch = sampler(k_batch)
-        state, aux = step_fn(state, batch, k_step)
-        rays_done += cfg.N_train
+        if packed is not None and pack_ok(i):
+            state, key, auxs = packed[0](state, key)
+            aux = jax.tree_util.tree_map(lambda a: a[0], auxs)  # aux of iter i
+            stepped = P
+        else:
+            key, k_batch, k_step = jax.random.split(key, 3)
+            batch = sampler(k_batch)
+            state, aux = step_fn(state, batch, k_step)
+            stepped = 1
+        rays_done += cfg.N_train * stepped
 
         if i % cfg.i_print == 0:
             aux = {k: float(v) for k, v in aux.items()}
@@ -158,6 +212,8 @@ def train(cfg: Config, scene: SceneData | None = None) -> None:
                 gt_imgs=scene.images[ids], gt_labels=scene.gt_labels[ids],
                 ins_rgbs=scene.ins_rgbs, savedir=savedir, crop_mask=scene.crop_mask,
             )
+
+        i += stepped
 
     if profiling:
         jax.block_until_ready(state.params_fine)

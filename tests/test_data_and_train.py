@@ -307,3 +307,54 @@ def test_penalize_requires_positive_gaussian_width():
     # setting both on the same parse is fine
     cfg = parse_config_text("over_penalize\ntolerance = 0.05\ndeta_w = 0.05")
     assert cfg.penalize and cfg.deta_w == 0.05
+
+
+def test_packed_dispatch_matches_single_steps():
+    """cfg.steps_per_dispatch: the scan-packed driver path must reproduce the
+    single-dispatch trajectory exactly (same key-split order in the scan body
+    as in the driver loop -> identical batches, identical updates)."""
+    import jax
+    import jax.numpy as jnp
+
+    from dmnerf_tpu.configs import Config
+    from dmnerf_tpu.data.samplers import make_full_sampler
+    from dmnerf_tpu.render.trainstep import create_train_state, make_train_step
+    from dmnerf_tpu.train import make_packed_steps
+
+    rng = np.random.RandomState(0)
+    M, H, W = 3, 8, 8
+    images = rng.rand(M, H, W, 3).astype(np.float32)
+    labels = rng.randint(0, 4, size=(M, H, W))
+    poses = np.stack([np.eye(4, dtype=np.float32)] * M)
+    poses[:, 2, 3] = 4.0
+    K = np.asarray([[8.0, 0, 4.0], [0, -8.0, 4.0], [0, 0, -1.0]], np.float32)
+    cfg = Config(netdepth=2, netwidth=32, multires=4, multires_views=2, skips=(0,),
+                 N_samples=8, N_importance=8, N_train=16, near=1.0, far=8.0,
+                 ins_num=4, perturb=1.0, penalize=True, tolerance=0.05, deta_w=0.05,
+                 i_print=4, steps_per_dispatch=4)
+    sampler = make_full_sampler(images, labels, poses, K, np.arange(M), cfg.N_train)
+
+    state = create_train_state(cfg, jax.random.PRNGKey(0))
+    key = jax.random.PRNGKey(7)
+
+    packed, P = make_packed_steps(cfg, sampler, None)
+    assert P == 4
+    s_packed, _, auxs = packed(jax.tree_util.tree_map(lambda x: x.copy(), state), key)
+
+    step = make_train_step(cfg)
+    s_single = jax.tree_util.tree_map(lambda x: x.copy(), state)
+    k = key
+    first_aux = None
+    for j in range(P):
+        k, kb, ks = jax.random.split(k, 3)
+        s_single, aux = step(s_single, sampler(kb), ks)
+        if j == 0:
+            first_aux = aux
+    for name in s_single.params_fine:
+        np.testing.assert_allclose(
+            np.asarray(s_packed.params_fine[name]),
+            np.asarray(s_single.params_fine[name]), atol=1e-6, rtol=1e-5,
+            err_msg=f"packed trajectory diverged at {name}")
+    # auxs[0] is the aux of the pack's first iteration (the print boundary)
+    np.testing.assert_allclose(float(auxs["total_loss"][0]),
+                               float(first_aux["total_loss"]), rtol=1e-6)
