@@ -104,7 +104,7 @@ class Config:
     # Pallas kernel knobs (ADVICE r2: make the train path's choice explicit and
     # recorded in args.txt rather than silent kernel defaults). None = the kernel
     # module's measured-best defaults for this chip generation.
-    pallas_pe_mode: Optional[str] = None   # 'kernel' | 'outside'
+    pallas_pe_mode: Optional[str] = None   # 'kernel_t' (default) | 'kernel' | 'outside'
     pallas_tile_fwd: Optional[int] = None  # forward tile (rows per grid step)
     pallas_tile_bwd: Optional[int] = None  # backward tile
     data_axis: int = 1            # number of devices on the ray-sharded 'data' mesh axis
