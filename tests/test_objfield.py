@@ -33,7 +33,7 @@ def test_lsa_matches_scipy_cost(n, seed):
     np.testing.assert_allclose(ours, theirs, rtol=1e-5)
 
 
-@pytest.mark.parametrize("valid", [1, 3, 7])
+@pytest.mark.parametrize("valid", [0, 1, 3, 7, 8])
 def test_masked_assignment_matches_scipy_rectangular(valid):
     rng = np.random.RandomState(7)
     n = 8
