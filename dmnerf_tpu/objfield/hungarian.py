@@ -99,23 +99,10 @@ def linear_sum_assignment_jax(cost: jnp.ndarray) -> jnp.ndarray:
     """Solve the square assignment problem, minimizing total cost.
 
     cost: [n, n] finite float matrix. Returns col4row [n] int32: the column assigned
-    to each row. jit-safe; O(n^3) with vectorized O(n) inner steps.
+    to each row. jit-safe; O(n^3) with vectorized O(n) inner steps. This is exactly
+    ``masked_assignment`` with every row valid (the solver setup lives there once).
     """
-    n = cost.shape[0]
-    cost = jax.lax.stop_gradient(jnp.asarray(cost, jnp.float32))
-    # Non-finite entries (upstream NaN/inf) would poison the dual updates; clamp them
-    # to a large finite value so the solver stays well-defined (and bounded, above).
-    cost = jnp.nan_to_num(cost, nan=1e9, posinf=1e9, neginf=-1e9)
-    u = jnp.zeros((n,), cost.dtype)
-    v = jnp.zeros((n,), cost.dtype)
-    row4col = jnp.full((n,), -1, jnp.int32)
-    col4row = jnp.full((n,), -1, jnp.int32)
-
-    def body(cur_row, carry):
-        return _augmenting_path_step(cost, *carry, cur_row)
-
-    _, _, _, col4row = jax.lax.fori_loop(0, n, body, (u, v, row4col, col4row))
-    return col4row
+    return masked_assignment(cost, jnp.asarray(cost.shape[0], jnp.int32))
 
 
 def masked_assignment(cost: jnp.ndarray, valid_rows: jnp.ndarray) -> jnp.ndarray:

@@ -90,7 +90,11 @@ def make_packed_steps(cfg: Config, sampler, n_ins):
     import functools
 
     P = math.gcd(cfg.steps_per_dispatch, cfg.i_print)
+    if P != cfg.steps_per_dispatch:
+        print(f"[train] steps_per_dispatch={cfg.steps_per_dispatch} reduced to "
+              f"gcd with i_print={cfg.i_print}: effective pack size {P}")
     if P <= 1:
+        print("[train] steps_per_dispatch: effective pack size 1 — packing disabled")
         return None
     raw_step = make_train_step(cfg, N_ins=n_ins, jit=False)
 
@@ -144,17 +148,21 @@ def train(cfg: Config, scene: SceneData | None = None) -> None:
 
     sampler, step_fn, _, packed = build_sampler_and_step(cfg, scene)
     P = packed[1] if packed is not None else 1
+    has_test_views = len(scene.i_test) > 0
 
     def pack_ok(i: int) -> bool:
         """A pack [i, i+P) may replace P single steps only when it starts on a
         pack boundary, fits the schedule, and contains no checkpoint/eval
         boundary (those must observe the state mid-pack — fall back to single
         steps there so artifacts stay byte-identical). Print boundaries are
-        safe: P | i_print, so they land on pack starts and use auxs[0]."""
+        safe: P | i_print, so they land on pack starts and use auxs[0]. i_test
+        boundaries only matter when the scene has test views at all (the eval
+        block below is a no-op otherwise)."""
         if i % P != 0 or i + P > cfg.N_iters or cfg.profile_dir is not None:
             return False
         return not any(
-            j > 0 and (j % cfg.i_save == 0 or j % cfg.i_test == 0)
+            j > 0 and (j % cfg.i_save == 0
+                       or (has_test_views and j % cfg.i_test == 0))
             for j in range(i, i + P)
         )
 

@@ -142,3 +142,22 @@ def test_pallas_shard_map_matches_single_device(pe_mode):
         np.testing.assert_allclose(np.asarray(s_sh.params_fine[k]),
                                    np.asarray(s_ref.params_fine[k]),
                                    atol=1e-5, rtol=1e-3, err_msg=k)
+
+
+def test_kernel_t_double_angle_path_matches_xla_loosely():
+    """The production TPU numeric path — double-angle PE under a bf16 activation
+    cache — run in interpret mode (cache_dtype=bfloat16 forces pe_exact=False,
+    exercising the recursion branch of _pe_transposed that compiled runs use).
+    Tolerances are bf16-quantization-loose; an ordering/indexing bug in the
+    recursion (e.g. swapped sin/cos blocks, octave-major vs channel-major) moves
+    outputs by O(1) and fails this regardless."""
+    multires, multires_views, D, W, skips, ins_num = CASES[1]
+    params, pts, dirs, q_xla, _ = _setup(*CASES[1], N=8, S=16)
+    q_bf16 = make_pallas_query_fn(multires, multires_views, D, skips,
+                                  tile_fwd=16, tile_bwd=16, interpret=True,
+                                  pe_mode="kernel_t", cache_dtype=jnp.bfloat16)
+    want = np.asarray(q_xla(params, pts, dirs))
+    got = np.asarray(q_bf16(params, pts, dirs))
+    assert got.shape == want.shape
+    scale = np.max(np.abs(want))
+    np.testing.assert_allclose(got, want, atol=0.03 * scale, rtol=0.05)
