@@ -193,6 +193,73 @@ def _unpack_grads(dws: Sequence[jnp.ndarray], params: Params, multires: int,
 
 
 # ---------------------------------------------------------------------------
+# Operand fusion: group the (w, b) pairs by column width into a handful of
+# fused buffers (PERF.md lever #1).
+#
+# Why: every pallas_call operand costs per-grid-step scheduling (~0.25 µs /
+# operand / grid step measured via the single-matmul probe, scripts/dev) and the
+# flat _pack layout ships 26 weight/bias operands in and — for the backward —
+# 26 accumulator refs out. Fusing by column width (trunk layers share W columns,
+# the two head hiddens share W//2, ...) cuts that to ~5 weight + 5 bias buffers
+# each way. Slicing them back apart in-kernel is exact (no numeric change);
+# segments are row-padded to _FUSE_PAD so every slice starts on a native
+# sublane-tile boundary (8 f32 / 16 bf16) and costs no relayout.
+# Biases stay in their own f32 buffers (f32 adds into the MXU accumulator —
+# see _prep); weight buffers carry the compute dtype.
+# ---------------------------------------------------------------------------
+
+_FUSE_PAD = 16  # row padding per segment: lcm of f32 (8) and bf16 (16) sublane tiles
+
+
+def _fuse_layout(wshapes: Sequence[Tuple[int, int]]):
+    """Group pair indices by weight column width.
+
+    Returns a tuple of (cols, entries, total_rows) with entries a tuple of
+    (pair_k, rows, row_off); the bias row index inside the group's bias buffer
+    is the entry's position. Pure shape metadata — static at trace time."""
+    bycol: Dict[int, list] = {}
+    order: List[int] = []
+    for k, (r, c) in enumerate(wshapes):
+        if c not in bycol:
+            bycol[c] = [[], 0]
+            order.append(c)
+        entries, rows = bycol[c]
+        entries.append((k, r, rows))
+        bycol[c][1] = rows + _round_up(r, _FUSE_PAD)
+    return tuple((c, tuple(bycol[c][0]), bycol[c][1]) for c in order)
+
+
+def _pad_rows(w, rows: int):
+    pad = _round_up(rows, _FUSE_PAD) - rows
+    if not pad:
+        return w
+    return jnp.concatenate([w, jnp.zeros((pad, w.shape[1]), w.dtype)], axis=0)
+
+
+def _fuse_ops(flat: Sequence[jnp.ndarray], layout) -> List[jnp.ndarray]:
+    """[w0,b0,w1,b1,...] -> [Wg0, Bg0, Wg1, Bg1, ...] (weights / biases of equal
+    column width stacked along rows, segments padded to _FUSE_PAD)."""
+    out: List[jnp.ndarray] = []
+    for _, entries, _ in layout:
+        out.append(jnp.concatenate(
+            [_pad_rows(flat[2 * k], r) for k, r, _ in entries], axis=0))
+        out.append(jnp.concatenate([flat[2 * k + 1] for k, _, _ in entries], axis=0))
+    return out
+
+
+def _unfuse_ops(bufs: Sequence[jnp.ndarray], layout, n_pairs: int) -> List[jnp.ndarray]:
+    """Inverse of _fuse_ops over loaded values (in-kernel or outside): static
+    row slices back into the flat [w0,b0,...] order _forward_core consumes."""
+    flat: List[jnp.ndarray] = [None] * (2 * n_pairs)  # type: ignore[list-item]
+    for gi, (_, entries, _) in enumerate(layout):
+        W, B = bufs[2 * gi], bufs[2 * gi + 1]
+        for bi, (k, r, off) in enumerate(entries):
+            flat[2 * k] = W[off:off + r]
+            flat[2 * k + 1] = B[bi:bi + 1]
+    return flat
+
+
+# ---------------------------------------------------------------------------
 # Shared in-kernel forward core
 # ---------------------------------------------------------------------------
 
@@ -349,74 +416,84 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _fwd_kernel(kinds, n_ops, Wf, Wi, cache_dtype, *refs):
+def _load_wv(wrefs, layout, n_pairs):
+    """Load the fused weight/bias buffers and slice them back into the flat
+    [w0, b0, w1, b1, ...] order _forward_core consumes (see _fuse_layout)."""
+    return _unfuse_ops([r[:] for r in wrefs], layout, n_pairs)
+
+
+def _fwd_kernel(kinds, layout, n_pairs, Wf, Wi, cache_dtype, *refs):
+    n_ops = 2 * len(layout)
     (x_ref, d_ref, Fp_ref, Fd_ref), wrefs, (out_ref,) = refs[:4], refs[4:4 + n_ops], refs[4 + n_ops:]
-    wv = [r[:] for r in wrefs]
+    wv = _load_wv(wrefs, layout, n_pairs)
     e, ed = _embed_pair(x_ref[:], d_ref[:], Fp_ref[:], Fd_ref[:], _cast_fn(cache_dtype))
     out, _ = _forward_core(e, ed, wv, kinds, Wf, Wi, cache_dtype, want_cache=False)
     out_ref[:] = out
 
 
-def _fwd_kernel_pe(kinds, n_ops, Wf, Wi, cache_dtype, *refs):
+def _fwd_kernel_pe(kinds, layout, n_pairs, Wf, Wi, cache_dtype, *refs):
     """pe_mode='outside' forward: embeddings are kernel inputs (already cast)."""
+    n_ops = 2 * len(layout)
     (e_ref, ed_ref), wrefs, (out_ref,) = refs[:2], refs[2:2 + n_ops], refs[2 + n_ops:]
-    wv = [r[:] for r in wrefs]
+    wv = _load_wv(wrefs, layout, n_pairs)
     out, _ = _forward_core(e_ref[:], ed_ref[:], wv, kinds, Wf, Wi, cache_dtype,
                            want_cache=False)
     out_ref[:] = out
 
 
-def _bwd_kernel(kinds, n_ops, Wf, Wi, cache_dtype, *refs):
+def _bwd_kernel(kinds, layout, n_pairs, Wf, Wi, cache_dtype, *refs):
+    n_ops = 2 * len(layout)
     ins_refs = refs[: 5 + n_ops]
     out_refs = refs[5 + n_ops:]
     x_ref, d_ref, g_ref, Fp_ref, Fd_ref = ins_refs[:5]
-    wrefs = ins_refs[5:]
     x, d, g = x_ref[:], d_ref[:], g_ref[:]
-    wv = [r[:] for r in wrefs]
+    wv = _load_wv(ins_refs[5:], layout, n_pairs)
     e, ed = _embed_pair(x, d, Fp_ref[:], Fd_ref[:], _cast_fn(cache_dtype))
     _, cache = _forward_core(e, ed, wv, kinds, Wf, Wi, cache_dtype, want_cache=True)
     grads = _backward_core(g, wv, cache, kinds, Wf, Wi, cache_dtype)
-    _accumulate_grads(out_refs, grads)
+    _accumulate_grads(out_refs, _fuse_ops(grads, layout))
 
 
-def _bwd_kernel_pe(kinds, n_ops, Wf, Wi, cache_dtype, *refs):
+def _bwd_kernel_pe(kinds, layout, n_pairs, Wf, Wi, cache_dtype, *refs):
     """pe_mode='outside' backward: embeddings are kernel inputs (already cast)."""
+    n_ops = 2 * len(layout)
     ins_refs = refs[: 3 + n_ops]
     out_refs = refs[3 + n_ops:]
     e_ref, ed_ref, g_ref = ins_refs[:3]
-    wrefs = ins_refs[3:]
-    wv = [r[:] for r in wrefs]
+    wv = _load_wv(ins_refs[3:], layout, n_pairs)
     _, cache = _forward_core(e_ref[:], ed_ref[:], wv, kinds, Wf, Wi, cache_dtype,
                              want_cache=True)
     grads = _backward_core(g_ref[:], wv, cache, kinds, Wf, Wi, cache_dtype)
-    _accumulate_grads(out_refs, grads)
+    _accumulate_grads(out_refs, _fuse_ops(grads, layout))
 
 
-def _fwd_kernel_pet(kinds, n_ops, Wf, Wi, cache_dtype, multires, pe_exact, *refs):
+def _fwd_kernel_pet(kinds, layout, n_pairs, Wf, Wi, cache_dtype, multires, pe_exact, *refs):
     """pe_mode='kernel_t' forward: transposed coords in, PE fused in-register."""
+    n_ops = 2 * len(layout)
     (xT_ref, edT_ref, FpT_ref), wrefs, (out_ref,) = \
         refs[:3], refs[3:3 + n_ops], refs[3 + n_ops:]
     cast = _cast_fn(cache_dtype)
     eT = cast(_pe_transposed(xT_ref[:], FpT_ref[:], multires, pe_exact))
-    out, _ = _forward_core(eT, edT_ref[:], [r[:] for r in wrefs], kinds, Wf, Wi,
-                           cache_dtype, want_cache=False, transposed=True)
+    out, _ = _forward_core(eT, edT_ref[:], _load_wv(wrefs, layout, n_pairs),
+                           kinds, Wf, Wi, cache_dtype, want_cache=False,
+                           transposed=True)
     out_ref[:] = out
 
 
-def _bwd_kernel_pet(kinds, n_ops, Wf, Wi, cache_dtype, multires, pe_exact, *refs):
+def _bwd_kernel_pet(kinds, layout, n_pairs, Wf, Wi, cache_dtype, multires, pe_exact, *refs):
     """pe_mode='kernel_t' backward: recomputes the transposed PE per tile."""
+    n_ops = 2 * len(layout)
     ins_refs = refs[: 4 + n_ops]
     out_refs = refs[4 + n_ops:]
     xT_ref, edT_ref, g_ref, FpT_ref = ins_refs[:4]
-    wrefs = ins_refs[4:]
-    wv = [r[:] for r in wrefs]
+    wv = _load_wv(ins_refs[4:], layout, n_pairs)
     cast = _cast_fn(cache_dtype)
     eT = cast(_pe_transposed(xT_ref[:], FpT_ref[:], multires, pe_exact))
     _, cache = _forward_core(eT, edT_ref[:], wv, kinds, Wf, Wi, cache_dtype,
                              want_cache=True, transposed=True)
     grads = _backward_core(g_ref[:], wv, cache, kinds, Wf, Wi, cache_dtype,
                            transposed=True)
-    _accumulate_grads(out_refs, grads)
+    _accumulate_grads(out_refs, _fuse_ops(grads, layout))
 
 
 def _backward_core(g, wv, cache, kinds, Wf, Wi, cache_dtype, transposed=False):
@@ -666,24 +743,26 @@ def make_pallas_query_fn(
     # (interpret-mode CPU parity tests); double-angle otherwise (see _pe_transposed)
     pe_exact = jnp.dtype(cache_dtype).itemsize >= 4
 
-    def _cast_weights(packed):
-        """Ship weight matrices (even slots — _pack alternates [w, b]) in the
-        compute dtype: at default precision the MXU rounds f32 inputs to bf16 per
-        use anyway, so casting once outside the kernel is numerically identical
-        and removes a per-grid-step conversion pass per matmul (plus half the
-        weight VMEM). Biases stay f32 (added to the f32 MXU accumulator)."""
-        return [w.astype(cache_dtype) if i % 2 == 0 else w
-                for i, w in enumerate(packed)]
-
     def _prep(params):
-        packed = _cast_weights(_pack(params, multires, multires_views, D, tuple(skips)))
+        """Row-permute/concat the pytree (_pack), then fuse by column width
+        (_fuse_layout/_fuse_ops) so the kernels see ~5 weight + ~5 bias operands
+        instead of 26. Weight buffers ship in the compute dtype: at default
+        precision the MXU rounds f32 inputs to bf16 per use anyway, so casting
+        once outside the kernel is numerically identical and removes a
+        per-grid-step conversion pass per matmul (plus half the weight VMEM).
+        Bias buffers stay f32 (added to the f32 MXU accumulator)."""
+        flat = _pack(params, multires, multires_views, D, tuple(skips))
+        layout = _fuse_layout([w.shape for w in flat[::2]])
+        fused = [w.astype(cache_dtype) if i % 2 == 0 else w
+                 for i, w in enumerate(_fuse_ops(flat, layout))]
         Wf = params["rgb_feat_w"].shape[1]
         Wi = params["ins_feat_w"].shape[1]
         C4 = params["ins_out_w"].shape[1] + 4
-        return packed, Wf, Wi, C4
+        return fused, layout, len(flat) // 2, Wf, Wi, C4
 
-    def _unpack(dws, params):
-        return _unpack_grads(dws, params, multires, multires_views, D, tuple(skips))
+    def _unpack(dws, layout, n_pairs, params):
+        return _unpack_grads(_unfuse_ops(dws, layout, n_pairs), params,
+                             multires, multires_views, D, tuple(skips))
 
     # ---- pe_mode='kernel': coords in, exact PE in-register, both kernels ----
     @jax.custom_vjp
@@ -691,8 +770,9 @@ def make_pallas_query_fn(
         return _fwd(params, pts, dirs)
 
     def _fwd(params, pts, dirs):
-        packed, Wf, Wi, C4 = _prep(params)
-        kern = functools.partial(_fwd_kernel, kinds, len(packed), Wf, Wi, cache_dtype)
+        packed, layout, n_pairs, Wf, Wi, C4 = _prep(params)
+        kern = functools.partial(_fwd_kernel, kinds, layout, n_pairs, Wf, Wi,
+                                 cache_dtype)
         return _points_call(kern, tile_fwd, [(pts, 0), (dirs, 0)], [Fp, Fd],
                             packed, ("tile", C4), interpret)
 
@@ -701,11 +781,13 @@ def make_pallas_query_fn(
 
     def _bwd_rule(res, g):
         params, pts, dirs = res
-        packed, Wf, Wi, C4 = _prep(params)
-        kern = functools.partial(_bwd_kernel, kinds, len(packed), Wf, Wi, cache_dtype)
+        packed, layout, n_pairs, Wf, Wi, C4 = _prep(params)
+        kern = functools.partial(_bwd_kernel, kinds, layout, n_pairs, Wf, Wi,
+                                 cache_dtype)
         dws = _points_call(kern, tile_bwd, [(pts, 0), (dirs, 0), (g, 0)], [Fp, Fd],
                            packed, ("grads",), interpret)
-        return _unpack(dws, params), jnp.zeros_like(pts), jnp.zeros_like(dirs)
+        return (_unpack(dws, layout, n_pairs, params),
+                jnp.zeros_like(pts), jnp.zeros_like(dirs))
 
     query_flat.defvjp(_fwd_rule, _bwd_rule)
 
@@ -725,8 +807,9 @@ def make_pallas_query_fn(
         return _fwd_pe(params, e, ed)
 
     def _fwd_pe(params, e, ed):
-        packed, Wf, Wi, C4 = _prep(params)
-        kern = functools.partial(_fwd_kernel_pe, kinds, len(packed), Wf, Wi, cache_dtype)
+        packed, layout, n_pairs, Wf, Wi, C4 = _prep(params)
+        kern = functools.partial(_fwd_kernel_pe, kinds, layout, n_pairs, Wf, Wi,
+                                 cache_dtype)
         return _points_call(kern, tile_fwd, [(e, 0), (ed, 0)], [],
                             packed, ("tile", C4), interpret)
 
@@ -735,11 +818,13 @@ def make_pallas_query_fn(
 
     def _bwd_rule_pe(res, g):
         params, e, ed = res
-        packed, Wf, Wi, C4 = _prep(params)
-        kern = functools.partial(_bwd_kernel_pe, kinds, len(packed), Wf, Wi, cache_dtype)
+        packed, layout, n_pairs, Wf, Wi, C4 = _prep(params)
+        kern = functools.partial(_bwd_kernel_pe, kinds, layout, n_pairs, Wf, Wi,
+                                 cache_dtype)
         dws = _points_call(kern, tile_bwd, [(e, 0), (ed, 0), (g, 0)], [],
                            packed, ("grads",), interpret)
-        return _unpack(dws, params), jnp.zeros_like(e), jnp.zeros_like(ed)
+        return (_unpack(dws, layout, n_pairs, params),
+                jnp.zeros_like(e), jnp.zeros_like(ed))
 
     query_flat_pe.defvjp(_fwd_rule_pe, _bwd_rule_pe)
 
@@ -749,8 +834,8 @@ def make_pallas_query_fn(
         return _fwd_pet(params, xT, edT)
 
     def _fwd_pet(params, xT, edT):
-        packed, Wf, Wi, C4 = _prep(params)
-        kern = functools.partial(_fwd_kernel_pet, kinds, len(packed), Wf, Wi,
+        packed, layout, n_pairs, Wf, Wi, C4 = _prep(params)
+        kern = functools.partial(_fwd_kernel_pet, kinds, layout, n_pairs, Wf, Wi,
                                  cache_dtype, multires, pe_exact)
         return _points_call(kern, tile_fwd, [(xT, 1), (edT, 1)], [FpT],
                             packed, ("tile", C4), interpret)
@@ -760,12 +845,13 @@ def make_pallas_query_fn(
 
     def _bwd_rule_pet(res, g):
         params, xT, edT = res
-        packed, Wf, Wi, C4 = _prep(params)
-        kern = functools.partial(_bwd_kernel_pet, kinds, len(packed), Wf, Wi,
+        packed, layout, n_pairs, Wf, Wi, C4 = _prep(params)
+        kern = functools.partial(_bwd_kernel_pet, kinds, layout, n_pairs, Wf, Wi,
                                  cache_dtype, multires, pe_exact)
         dws = _points_call(kern, tile_bwd, [(xT, 1), (edT, 1), (g, 0)], [FpT],
                            packed, ("grads",), interpret)
-        return _unpack(dws, params), jnp.zeros_like(xT), jnp.zeros_like(edT)
+        return (_unpack(dws, layout, n_pairs, params),
+                jnp.zeros_like(xT), jnp.zeros_like(edT))
 
     query_flat_pet.defvjp(_fwd_rule_pet, _bwd_rule_pet)
 
