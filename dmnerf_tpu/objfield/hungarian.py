@@ -37,23 +37,33 @@ def _augmenting_path_step(cost, u, v, row4col, col4row, cur_row):
     # (upstream NaN) could otherwise stall the free-column search forever and trip the
     # device watchdog; with the bound, bad inputs degrade to a wrong-but-finite
     # assignment instead of a chip kill.
+    #
+    # Latency discipline: the whole solve is serialized while_loop latency, so the
+    # body avoids every scatter (`at[].set` lowers to dynamic-update-slice) and
+    # dynamic gather — masked `where`/reduce over the full [n] vector is cheaper
+    # per iteration on the VPU (measured ~1.8x at the typical valid=8,
+    # scripts/dev/jv_probe.py).
     def dij_cond(s):
         return (s[6] < 0) & (s[7] <= n)
 
     def dij_body(s):
         i, min_val, remaining, sr, shortest, path, _sink, it = s
-        sr = sr.at[i].set(True)
-        r = min_val + cost[i] - u[i] - v
+        row_i = ar == i
+        sr = sr | row_i
+        cost_i = jnp.sum(jnp.where(row_i[:, None], cost, 0.0), axis=0)
+        u_i = jnp.sum(jnp.where(row_i, u, 0.0))
+        r = min_val + cost_i - u_i - v
         upd = (r < shortest) & remaining
         path = jnp.where(upd, i, path)
         shortest = jnp.where(upd, r, shortest)
         masked = jnp.where(remaining, shortest, _INF)
         j = jnp.argmin(masked)
-        min_val = masked[j]
-        hit_free = row4col[j] < 0
+        min_val = jnp.min(masked)
+        r4c_j = jnp.sum(jnp.where(ar == j, row4col, 0))  # row4col[j]; -1 sums intact
+        hit_free = r4c_j < 0
         sink = jnp.where(hit_free, j, -1)
-        i = jnp.where(hit_free, i, row4col[j])
-        remaining = remaining.at[j].set(False)
+        i = jnp.where(hit_free, i, r4c_j)
+        remaining = remaining & (ar != j)
         return (i, min_val, remaining, sr, shortest, path, sink, it + 1)
 
     init = (
@@ -70,9 +80,12 @@ def _augmenting_path_step(cost, u, v, row4col, col4row, cur_row):
     sink = jnp.maximum(sink, 0)  # bound hit (non-finite cost): pick col 0, stay well-formed
 
     # dual updates (scanned rows/cols only)
-    u = u.at[cur_row].add(min_val)
+    u = u + jnp.where(ar == cur_row, min_val, 0.0)
     sr_other = sr & (ar != cur_row)
-    shortest_at_rowcol = shortest[jnp.maximum(col4row, 0)]
+    # shortest[col4row] without a gather; rows with col4row=-1 match nothing and
+    # read 0, but they are never in sr_other (only assigned rows get scanned)
+    shortest_at_rowcol = jnp.sum(
+        jnp.where(col4row[:, None] == ar[None, :], shortest[None, :], 0.0), axis=1)
     u = u + jnp.where(sr_other, min_val - shortest_at_rowcol, 0.0)
     scanned_cols = ~remaining
     v = v - jnp.where(scanned_cols, min_val - shortest, 0.0)
@@ -83,10 +96,12 @@ def _augmenting_path_step(cost, u, v, row4col, col4row, cur_row):
 
     def aug_body(s):
         j, r4c, c4r, _done, it = s
-        i = jnp.maximum(path[j], 0)
-        r4c = r4c.at[j].set(i)
-        nj = c4r[i]
-        c4r = c4r.at[i].set(j)
+        col_j = ar == j
+        i = jnp.maximum(jnp.sum(jnp.where(col_j, path, 0)), 0)  # path[j]; -1 sums intact
+        r4c = jnp.where(col_j, i, r4c)
+        row_i = ar == i
+        nj = jnp.sum(jnp.where(row_i, c4r, 0))
+        c4r = jnp.where(row_i, j, c4r)
         return (nj, r4c, c4r, i == cur_row, it + 1)
 
     _, row4col, col4row, _, _ = jax.lax.while_loop(
