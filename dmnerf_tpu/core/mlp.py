@@ -107,3 +107,33 @@ def dm_nerf_apply(
 
 def num_params(params: Params) -> int:
     return sum(int(p.size) for p in params.values())
+
+
+def sigma_stub_params(params: Params, stub_w: int = 8) -> Params:
+    """Shrink the rgb/ins head branches to `stub_w`-wide zero weights, keeping the
+    trunk and density head intact.
+
+    Why: forward-only consumers that need ONLY sigma (the test renderer's coarse
+    pass exists solely to produce `sample_pdf` weights — reference render.py:62-68
+    via tester.py:62-76) still pay the full head stack through the fused Pallas
+    kernel, where XLA's dead-code elimination cannot reach. Both query paths are
+    shape-driven, so swapping in this pytree removes ~25% of the per-point MXU
+    work; the sigma column is EXACT (each output column of a matmul is an
+    independent dot product), while the rgb/ins channels of the result are
+    garbage and must not be consumed. Keep `stub_w` a multiple of 8 (f32 sublane
+    tile) so the fused-operand row padding stays aligned."""
+    W, zeros = params["density_w"].shape[0], jnp.zeros
+    dtype = params["density_w"].dtype
+    emb_views = params["rgb_hid_w"].shape[0] - params["rgb_feat_w"].shape[1]
+    out = {k: v for k, v in params.items()
+           if k.startswith("trunk_") or k.startswith("density_")}
+    out.update(
+        rgb_feat_w=zeros((W, stub_w), dtype), rgb_feat_b=zeros((stub_w,), dtype),
+        rgb_hid_w=zeros((stub_w + emb_views, stub_w), dtype),
+        rgb_hid_b=zeros((stub_w,), dtype),
+        rgb_out_w=zeros((stub_w, 3), dtype), rgb_out_b=zeros((3,), dtype),
+        ins_feat_w=zeros((W, stub_w), dtype), ins_feat_b=zeros((stub_w,), dtype),
+        ins_hid_w=zeros((stub_w, stub_w), dtype), ins_hid_b=zeros((stub_w,), dtype),
+        ins_out_w=zeros((stub_w, 1), dtype), ins_out_b=zeros((1,), dtype),
+    )
+    return out

@@ -16,8 +16,10 @@ import jax
 import jax.numpy as jnp
 
 from dmnerf_tpu.configs import Config
+from dmnerf_tpu.core.compositor import composite
+from dmnerf_tpu.core.mlp import sigma_stub_params
 from dmnerf_tpu.core.pipeline import QueryFn, make_query_fn, render_rays
-from dmnerf_tpu.core.sampling import z_val_sample
+from dmnerf_tpu.core.sampling import sample_pdf, z_val_sample
 
 
 def _pad_to_multiple(x: jnp.ndarray, m: int):
@@ -28,24 +30,49 @@ def _pad_to_multiple(x: jnp.ndarray, m: int):
     return x, n
 
 
-def make_image_renderer(cfg: Config, query_fn: Optional[QueryFn] = None):
+def make_image_renderer(cfg: Config, query_fn: Optional[QueryFn] = None,
+                        sigma_only_coarse: bool = True):
     """Returns render_fn(params_coarse, params_fine, rays_o [N,3], rays_d [N,3])
-    -> dict(rgb [N,3], ins [N,ins_num], depth [N]), jit-compiled once per ray count."""
+    -> dict(rgb [N,3], ins [N,ins_num], depth [N]), jit-compiled once per ray count.
+
+    sigma_only_coarse (default): the coarse pass exists only to produce
+    `sample_pdf` weights (reference tester.py:62-76 discards the coarse render),
+    and weights depend on sigma alone — so the coarse query runs with
+    `sigma_stub_params` (trunk + density intact, heads stubbed), cutting ~25% of
+    the coarse MXU work inside the Pallas kernel where XLA DCE cannot reach.
+    Output-identical to the full pipeline (gated by tests/test_core.py)."""
     if query_fn is None:
         query_fn = make_query_fn(cfg)
     chunk = cfg.N_test
     z_coarse = z_val_sample(chunk, cfg.near, cfg.far, cfg.N_samples)
+
+    def _slim_chunk(params_coarse_stub, params_fine, o, d):
+        """render_rays' exact z-path (pipeline.py:100-126, perturb=False) with the
+        sigma-stub coarse query; only fine outputs are computed."""
+        viewdirs = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+        pts = o[..., None, :] + d[..., None, :] * z_coarse[..., :, None]
+        raw_c = query_fn(params_coarse_stub, pts, viewdirs)   # [N,S,5]: only sigma valid
+        w = composite(raw_c, z_coarse, d).weights
+        z_mids = 0.5 * (z_coarse[..., 1:] + z_coarse[..., :-1])
+        z_samples = sample_pdf(z_mids, w[..., 1:-1], cfg.N_importance, key=None)
+        z_fine = jnp.sort(jnp.concatenate([z_coarse, z_samples], axis=-1), axis=-1)
+        pts_fine = o[..., None, :] + d[..., None, :] * z_fine[..., :, None]
+        out_f = composite(query_fn(params_fine, pts_fine, viewdirs), z_fine, d)
+        return {"rgb": out_f.rgb, "ins": out_f.ins, "depth": out_f.depth}
 
     @jax.jit
     def render_fn(params_coarse, params_fine, rays_o, rays_d):
         (ro, n), (rd, _) = _pad_to_multiple(rays_o, chunk), _pad_to_multiple(rays_d, chunk)
         ro = ro.reshape(-1, chunk, 3)
         rd = rd.reshape(-1, chunk, 3)
+        pc_stub = sigma_stub_params(params_coarse) if sigma_only_coarse else None
 
         def one_chunk(args):
             o, d = args
             # avoid 0/0 viewdirs on padding rays
             d = jnp.where(jnp.sum(d * d, -1, keepdims=True) > 0, d, jnp.ones_like(d))
+            if sigma_only_coarse:
+                return _slim_chunk(pc_stub, params_fine, o, d)
             info = render_rays(
                 params_coarse, params_fine, o, d, z_coarse, query_fn,
                 N_importance=cfg.N_importance, perturb=False, key=None,

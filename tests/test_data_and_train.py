@@ -358,3 +358,26 @@ def test_packed_dispatch_matches_single_steps():
     # auxs[0] is the aux of the pack's first iteration (the print boundary)
     np.testing.assert_allclose(float(auxs["total_loss"][0]),
                                float(first_aux["total_loss"]), rtol=1e-6)
+
+
+def test_image_renderer_sigma_only_coarse_equivalent():
+    """The sigma-only coarse path (sigma_stub_params inside make_image_renderer)
+    must be output-identical to the full render_rays pipeline: coarse weights
+    depend on sigma alone, and the stub keeps sigma exact."""
+    import jax
+
+    from dmnerf_tpu.render.renderer import make_image_renderer
+
+    cfg = tiny_config(N_test=64)
+    state = create_train_state(cfg, jax.random.PRNGKey(0))
+    rng = np.random.RandomState(3)
+    rays_d = rng.randn(100, 3).astype(np.float32)
+    rays_d[:, 2] = np.abs(rays_d[:, 2]) + 1.0
+    rays_o = np.zeros((100, 3), np.float32)
+    slim = make_image_renderer(cfg, sigma_only_coarse=True)(
+        state.params_coarse, state.params_fine, jnp.asarray(rays_o), jnp.asarray(rays_d))
+    full = make_image_renderer(cfg, sigma_only_coarse=False)(
+        state.params_coarse, state.params_fine, jnp.asarray(rays_o), jnp.asarray(rays_d))
+    assert set(slim) == set(full)
+    for k in full:
+        np.testing.assert_array_equal(np.asarray(slim[k]), np.asarray(full[k]), err_msg=k)

@@ -161,3 +161,20 @@ def test_kernel_t_double_angle_path_matches_xla_loosely():
     assert got.shape == want.shape
     scale = np.max(np.abs(want))
     np.testing.assert_allclose(got, want, atol=0.03 * scale, rtol=0.05)
+
+
+@pytest.mark.parametrize("pe_mode", ["kernel", "outside", "kernel_t"])
+def test_sigma_stub_params_sigma_exact(pe_mode):
+    """sigma_stub_params (the test renderer's sigma-only coarse query): the sigma
+    channel must be bit-exact vs the full pytree on BOTH query paths — each
+    output column of a matmul is an independent dot product, so stubbing the
+    rgb/ins head branches cannot perturb the density column."""
+    from dmnerf_tpu.core.mlp import sigma_stub_params
+
+    params, pts, dirs, q_xla, q_pal = _setup(*CASES[1], pe_mode=pe_mode)
+    stub = sigma_stub_params(params)
+    for q in (q_xla, q_pal):
+        full_sigma = np.asarray(q(params, pts, dirs)[..., 3])
+        stub_raw = np.asarray(q(stub, pts, dirs))
+        assert stub_raw.shape[-1] == 5  # rgb(3) + sigma + 1 stub ins channel
+        np.testing.assert_array_equal(stub_raw[..., 3], full_sigma)
