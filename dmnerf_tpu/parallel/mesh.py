@@ -77,3 +77,41 @@ def make_sharded_train_step(cfg: Config, mesh: Mesh, query_fn=None, N_ins=None):
         out_shardings=(repl, repl),
         donate_argnums=(0,),
     )
+
+
+def make_sharded_image_renderer(cfg: Config, mesh: Mesh, query_fn=None):
+    """Multi-chip inference: rays sharded over 'data', parameters replicated.
+
+    Each device sweeps its ray shard with the single-chip chunked renderer
+    (render.renderer.make_image_renderer); the whole renderer runs inside
+    shard_map, so the Pallas kernel inside needs no mesh of its own — the same
+    pattern as the sharded train step. Rays are padded to the axis size here and
+    to the chunk size per-device inside, so any ray count works.
+
+    The reference's eval loop is strictly single-GPU (tester.py:62-76); this is
+    the TPU-native scale-out of that path (SURVEY.md §2.2 ray parallelism)."""
+    if query_fn is None:
+        from dmnerf_tpu.core.pipeline import make_query_fn
+
+        # plain single-device query: it executes inside shard_map's per-device view
+        query_fn = make_query_fn(cfg)
+    from dmnerf_tpu.render.renderer import _pad_to_multiple, make_image_renderer
+
+    inner = make_image_renderer(cfg, query_fn=query_fn)
+    n_dev = mesh.shape["data"]
+
+    sharded = jax.shard_map(
+        lambda pc, pf, ro, rd: inner(pc, pf, ro, rd),
+        mesh=mesh,
+        in_specs=(P(), P(), P("data"), P("data")),
+        out_specs=P("data"),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def render_fn(params_coarse, params_fine, rays_o, rays_d):
+        (ro, n), (rd, _) = _pad_to_multiple(rays_o, n_dev), _pad_to_multiple(rays_d, n_dev)
+        out = sharded(params_coarse, params_fine, ro, rd)
+        return {k: v[:n] for k, v in out.items()}
+
+    return render_fn

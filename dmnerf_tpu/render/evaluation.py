@@ -53,7 +53,17 @@ def render_test(
 
     H, W, K = hwk
     if renderer is None:
-        renderer = make_image_renderer(cfg)
+        import jax
+
+        n_dev = len(jax.devices())
+        if n_dev > 1:
+            # scale eval over every chip: rays sharded, params replicated
+            # (reference eval is single-GPU, tester.py:62-76)
+            from dmnerf_tpu.parallel.mesh import make_mesh, make_sharded_image_renderer
+
+            renderer = make_sharded_image_renderer(cfg, make_mesh())
+        else:
+            renderer = make_image_renderer(cfg)
     if color_dict is None:
         color_dict = {str(i): i for i in range(cfg.ins_num)}
 

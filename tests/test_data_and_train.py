@@ -381,3 +381,30 @@ def test_image_renderer_sigma_only_coarse_equivalent():
     assert set(slim) == set(full)
     for k in full:
         np.testing.assert_array_equal(np.asarray(slim[k]), np.asarray(full[k]), err_msg=k)
+
+
+def test_sharded_image_renderer_matches_single_device():
+    """Ray-sharded inference (parallel.mesh.make_sharded_image_renderer) over the
+    8-virtual-device CPU mesh == the single-device renderer, including a ray
+    count not divisible by the axis size (padding path)."""
+    import jax
+
+    from dmnerf_tpu.parallel.mesh import make_mesh, make_sharded_image_renderer
+    from dmnerf_tpu.render.renderer import make_image_renderer
+
+    cfg = tiny_config(N_test=32)
+    state = create_train_state(cfg, jax.random.PRNGKey(0))
+    rng = np.random.RandomState(4)
+    n = 101  # not divisible by 8: exercises the pad-and-slice path
+    rays_d = rng.randn(n, 3).astype(np.float32)
+    rays_d[:, 2] = np.abs(rays_d[:, 2]) + 1.0
+    rays_o = jnp.zeros((n, 3), jnp.float32)
+    single = make_image_renderer(cfg)(
+        state.params_coarse, state.params_fine, rays_o, jnp.asarray(rays_d))
+    mesh = make_mesh(n_devices=8, devices=jax.devices("cpu"))
+    sharded = make_sharded_image_renderer(cfg, mesh)(
+        state.params_coarse, state.params_fine, rays_o, jnp.asarray(rays_d))
+    assert set(single) == set(sharded)
+    for k in single:
+        np.testing.assert_allclose(np.asarray(sharded[k]), np.asarray(single[k]),
+                                    atol=1e-5, rtol=1e-4, err_msg=k)
