@@ -115,3 +115,54 @@ def make_sharded_image_renderer(cfg: Config, mesh: Mesh, query_fn=None):
         return {k: v[:n] for k, v in out.items()}
 
     return render_fn
+
+
+def make_sharded_manipulator_renderer(cfg: Config, mesh: Mesh, n_targets: int,
+                                      query_fn=None):
+    """Ray-sharded two-pass manipulation renderer — the reference's single most
+    expensive path (~3x a plain render, networks/manipulator.py:245-267), scaled
+    over the mesh like make_sharded_image_renderer.
+
+    Keyed (det=False) sampling folds the device index into the per-shard key, so
+    shards draw independent inverse-CDF u's; det mode (key=None) is bit-equivalent
+    to the single-device renderer (gated by tests)."""
+    import functools
+
+    from dmnerf_tpu.render.manipulator import make_manipulator_renderer
+    from dmnerf_tpu.render.renderer import _pad_to_multiple
+
+    inner = make_manipulator_renderer(cfg, n_targets, query_fn=query_fn)
+    n_dev = mesh.shape["data"]
+
+    @functools.lru_cache(maxsize=None)
+    def make_sharded(move_labels, keyed: bool):
+        def per_shard(pc, pf, oo, od, to, td, key):
+            if keyed:
+                key = jax.random.fold_in(key, jax.lax.axis_index("data"))
+            else:
+                key = None
+            return inner(pc, pf, oo, od, to, td, move_labels, key=key)
+
+        return jax.shard_map(
+            per_shard, mesh=mesh,
+            in_specs=(P(), P(), P("data"), P("data"), P(None, "data"),
+                      P(None, "data"), P()),
+            out_specs=P("data"),
+            check_vma=False,
+        )
+
+    def render_fn(params_coarse, params_fine, ori_o, ori_d, tar_o, tar_d,
+                  move_labels, key=None):
+        (oo, n), (od, _) = _pad_to_multiple(ori_o, n_dev), _pad_to_multiple(ori_d, n_dev)
+        pad = oo.shape[0] - n
+        if pad:
+            import jax.numpy as jnp
+
+            tar_o = jnp.concatenate([tar_o, jnp.zeros_like(tar_o[:, :pad])], axis=1)
+            tar_d = jnp.concatenate([tar_d, jnp.zeros_like(tar_d[:, :pad])], axis=1)
+        fn = make_sharded(move_labels, keyed=key is not None)
+        k = key if key is not None else jax.random.PRNGKey(0)
+        out = fn(params_coarse, params_fine, oo, od, tar_o, tar_d, k)
+        return {kk: v[:n] for kk, v in out.items()}
+
+    return render_fn

@@ -31,6 +31,18 @@ from dmnerf_tpu.utils.image_metrics import lpips_np, psnr_np, ssim_np, to8b
 from dmnerf_tpu.utils.metrics_log import write_matching_log, write_test_results
 
 
+def _make_mani_renderer(cfg, n_targets: int):
+    """Single-chip manipulator renderer, or the ray-sharded one over the full
+    device mesh when more than one chip is visible (parallel.mesh)."""
+    import jax
+
+    if len(jax.devices()) > 1:
+        from dmnerf_tpu.parallel.mesh import make_mesh, make_sharded_manipulator_renderer
+
+        return make_sharded_manipulator_renderer(cfg, make_mesh(), n_targets)
+    return make_manipulator_renderer(cfg, n_targets)
+
+
 def _imwrite(path, img):
     import imageio.v2 as imageio
 
@@ -71,7 +83,7 @@ def manipulator_eval(
     save_dir = os.path.join(save_dir, trans_dict["mode"])
     os.makedirs(save_dir, exist_ok=True)
 
-    run = make_manipulator_renderer(cfg, n_targets=1)
+    run = _make_mani_renderer(cfg, n_targets=1)
     psnrs, ssims, lpipses, aps, full_map = [], [], [], [], {}
     # stochastic importance sampling like the reference (sample_pdf det=False,
     # manipulator.py:148,170,187); fixed base seed for reproducible eval runs
@@ -159,7 +171,7 @@ def manipulator_demo(
     )
 
     n_obj = len(objs)
-    run = make_manipulator_renderer(cfg, n_targets=n_obj)
+    run = _make_mani_renderer(cfg, n_targets=n_obj)
     import jax
     base_key = jax.random.PRNGKey(0)
 

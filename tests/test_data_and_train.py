@@ -408,3 +408,31 @@ def test_sharded_image_renderer_matches_single_device():
     for k in single:
         np.testing.assert_allclose(np.asarray(sharded[k]), np.asarray(single[k]),
                                     atol=1e-5, rtol=1e-4, err_msg=k)
+
+
+def test_sharded_manipulator_renderer_matches_single_device_det():
+    """Ray-sharded manipulation renderer == single-device in det mode (key=None)
+    over the 8-virtual-device CPU mesh. Keyed mode folds the device index into
+    the shard key (independent inverse-CDF draws) and is not bit-comparable."""
+    import jax
+
+    from dmnerf_tpu.parallel.mesh import make_mesh, make_sharded_manipulator_renderer
+    from dmnerf_tpu.render.manipulator import make_manipulator_renderer
+
+    cfg = tiny_config(N_test=16)
+    state = create_train_state(cfg, jax.random.PRNGKey(0))
+    rng = np.random.RandomState(5)
+    n = 64
+    rays_d = rng.randn(n, 3).astype(np.float32)
+    rays_d[:, 2] = np.abs(rays_d[:, 2]) + 1.0
+    ro, rd = jnp.zeros((n, 3), jnp.float32), jnp.asarray(rays_d)
+    tar_o = (ro - jnp.asarray([0.0, 0.25, 0.0]))[None]
+    tar_d = rd[None]
+    args = (state.params_coarse, state.params_fine, ro, rd, tar_o, tar_d, (1,))
+    single = make_manipulator_renderer(cfg, n_targets=1)(*args)
+    mesh = make_mesh(n_devices=8, devices=jax.devices("cpu"))
+    sharded = make_sharded_manipulator_renderer(cfg, mesh, n_targets=1)(*args)
+    assert set(single) == set(sharded)
+    for k in single:
+        np.testing.assert_allclose(np.asarray(sharded[k]), np.asarray(single[k]),
+                                    atol=1e-5, rtol=1e-4, err_msg=k)
