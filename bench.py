@@ -48,7 +48,8 @@ INS_NUM = 32
 WARMUP = 3
 ITERS = 20
 RENDER_H = RENDER_W = 256
-RENDER_REPS = 3
+RENDER_REPS = 5   # isolated render timing is stable to <1 ms at 5 reps;
+                  # 3 reps right after the train section read ~6% high
 
 # published dense peak FLOP/s by device kind (bf16 MXU). fp32 on TPU runs through
 # the MXU at a fraction of bf16 (precision=HIGHEST uses multi-pass bf16); we report
@@ -72,23 +73,33 @@ def _make_cfg(precision: str):
 
     return Config(
         N_train=N_RAYS, N_samples=N_SAMPLES, N_importance=N_IMPORTANCE,
-        N_test=4096, near=2.0, far=7.0, ins_num=INS_NUM, perturb=1.0,
+        # N_test=2048: the r4 render chunk re-sweep optimum (2048 < 4096 < 8192
+        # after the fused-composite change; scripts/dev/render_probe2.py)
+        N_test=2048, near=2.0, far=7.0, ins_num=INS_NUM, perturb=1.0,
         penalize=True, tolerance=0.05, deta_w=0.05, precision=precision,
     )
 
 
-def _make_batch():
+def _make_batch(dense_ins: bool = False):
+    """dense_ins=False: labels drawn from 8 instances — the typical-scene case
+    (valid~8 rows in the dynamic-trip Hungarian). dense_ins=True: every one of
+    the INS_NUM labels present (valid=INS_NUM), the JV solve's worst case — the
+    regime real many-instance ScanNet scenes hit (VERDICT r3 weak #3)."""
     import jax.numpy as jnp
     from dmnerf_tpu.render.trainstep import Batch
 
     rng = np.random.RandomState(0)
     rays_d = rng.randn(N_RAYS, 3).astype(np.float32)
     rays_d[:, 2] = np.abs(rays_d[:, 2]) + 1.0
+    if dense_ins:
+        target_i = np.arange(N_RAYS) % INS_NUM  # all INS_NUM labels present
+    else:
+        target_i = rng.randint(0, 8, size=N_RAYS)
     return Batch(
         rays_o=jnp.zeros((N_RAYS, 3), jnp.float32),
         rays_d=jnp.asarray(rays_d),
         target_c=jnp.asarray(rng.rand(N_RAYS, 3).astype(np.float32)),
-        target_i=jnp.asarray(rng.randint(0, 8, size=N_RAYS)),
+        target_i=jnp.asarray(target_i),
     )
 
 
@@ -112,7 +123,7 @@ def analytic_matmul_flops(cfg) -> dict:
     return {"fwd_flops": fwd, "train_flops": 3 * fwd, "per_point_flops": per_point}
 
 
-def bench_train(precision: str) -> dict:
+def bench_train(precision: str, dense_ins: bool = False) -> dict:
     import jax
 
     cfg = _make_cfg(precision)
@@ -120,7 +131,7 @@ def bench_train(precision: str) -> dict:
 
     state = create_train_state(cfg, jax.random.PRNGKey(0))
     step = make_train_step(cfg)
-    batch = _make_batch()
+    batch = _make_batch(dense_ins=dense_ins)
     key = jax.random.PRNGKey(1)
     for _ in range(WARMUP):
         key, sub = jax.random.split(key)
@@ -135,11 +146,19 @@ def bench_train(precision: str) -> dict:
     dt = time.perf_counter() - t0
     ms = dt / ITERS * 1e3
     rays_s = N_RAYS * ITERS / dt
-    psnr5 = _psnr_after_5_steps(cfg)
-    log(f"[bench] train {precision}: {ms:.2f} ms/step, {rays_s:,.0f} rays/s "
-        f"(loss {float(aux['total_loss']):.4f}, psnr@5 {psnr5:.2f})")
-    return {"ms_per_step": round(ms, 2), "rays_per_sec": round(rays_s, 1),
-            "loss": round(float(aux["total_loss"]), 4), "psnr_at_5_steps": round(psnr5, 3)}
+    tag = f"{precision}{' dense_ins' if dense_ins else ''}"
+    out = {"ms_per_step": round(ms, 2), "rays_per_sec": round(rays_s, 1),
+           "loss": round(float(aux["total_loss"]), 4)}
+    if dense_ins:
+        out["n_instances_present"] = INS_NUM
+        psnr_txt = ""
+    else:
+        psnr5 = _psnr_after_5_steps(cfg)
+        out["psnr_at_5_steps"] = round(psnr5, 3)
+        psnr_txt = f", psnr@5 {psnr5:.2f}"
+    log(f"[bench] train {tag}: {ms:.2f} ms/step, {rays_s:,.0f} rays/s "
+        f"(loss {float(aux['total_loss']):.4f}{psnr_txt})")
+    return out
 
 
 def bench_train_packed(precision: str, pack: int = 10) -> dict:
@@ -228,11 +247,14 @@ def bench_render(precision: str) -> dict:
     ro, rd = ro.reshape(-1, 3), rd.reshape(-1, 3)
 
     out = renderer(state.params_coarse, state.params_fine, ro, rd)  # compile
-    jax.block_until_ready(out["rgb"])
+    _ = float(jnp.sum(out["rgb"]))  # scalar read: the only reliable fence under axon
+    for _ in range(2):  # settle the allocator after the train section
+        out = renderer(state.params_coarse, state.params_fine, ro, rd)
+    _ = float(jnp.sum(out["rgb"]))
     t0 = time.perf_counter()
     for _ in range(RENDER_REPS):
         out = renderer(state.params_coarse, state.params_fine, ro, rd)
-    jax.block_until_ready(out["rgb"])
+    _ = float(jnp.sum(out["rgb"]))
     dt = (time.perf_counter() - t0) / RENDER_REPS
     n_rays = RENDER_H * RENDER_W
     log(f"[bench] render {precision}: {dt*1e3:.1f} ms/image ({RENDER_H}x{RENDER_W}), "
@@ -241,11 +263,11 @@ def bench_render(precision: str) -> dict:
             "image": f"{RENDER_H}x{RENDER_W}"}
 
 
-def bench_mani_render(precision: str) -> dict:
-    """Manipulation-render throughput: the two-pass union-z edit pipeline at one
-    rigid target over a full image — the reference's single most expensive path
-    (~3x a plain render: ~6 MLP sweeps per chunk, networks/manipulator.py:245-267),
-    previously unbenchmarked (VERDICT r2 'what's weak' #7)."""
+def bench_mani_render(precision: str, n_targets: int = 1) -> dict:
+    """Manipulation-render throughput: the two-pass union-z edit pipeline over a
+    full image — the reference's single most expensive path (~6 MLP sweeps per
+    chunk, networks/manipulator.py:245-267). n_targets=2 covers the reference's
+    mani_mode=multi scaling (manipulator.py:137-205 loops per target)."""
     import jax
     import jax.numpy as jnp
 
@@ -255,26 +277,28 @@ def bench_mani_render(precision: str) -> dict:
     from dmnerf_tpu.render.trainstep import create_train_state
 
     state = create_train_state(cfg, jax.random.PRNGKey(0))
-    mani = make_manipulator_renderer(cfg, n_targets=1)
+    mani = make_manipulator_renderer(cfg, n_targets=n_targets)
     K = jnp.asarray([[300.0, 0, RENDER_W / 2], [0, -300.0, RENDER_H / 2], [0, 0, -1.0]])
     ro, rd = rays_from_K(RENDER_H, RENDER_W, K, jnp.eye(4))
     ro, rd = ro.reshape(-1, 3), rd.reshape(-1, 3)
-    # inverse-transformed target bundle for a rigid translation (mani_eval pose math)
-    tar_o, tar_d = (ro - jnp.asarray([0.0, 0.25, 0.0]))[None], rd[None]
+    # inverse-transformed target bundles for rigid translations (mani_eval pose math)
+    offs = [jnp.asarray([0.0, 0.25 * (k + 1), 0.0]) for k in range(n_targets)]
+    tar_o = jnp.stack([ro - off for off in offs])
+    tar_d = jnp.broadcast_to(rd[None], (n_targets,) + rd.shape)
+    labels = tuple(range(1, n_targets + 1))
 
-    out = mani(state.params_coarse, state.params_fine, ro, rd, tar_o, tar_d, (1,))
-    jax.block_until_ready(out["rgb"])
+    out = mani(state.params_coarse, state.params_fine, ro, rd, tar_o, tar_d, labels)
     _ = float(jnp.sum(out["rgb"]))  # execution fence under the axon tunnel
     t0 = time.perf_counter()
     for _ in range(RENDER_REPS):
-        out = mani(state.params_coarse, state.params_fine, ro, rd, tar_o, tar_d, (1,))
+        out = mani(state.params_coarse, state.params_fine, ro, rd, tar_o, tar_d, labels)
     _ = float(jnp.sum(out["rgb"]))
     dt = (time.perf_counter() - t0) / RENDER_REPS
     n_rays = RENDER_H * RENDER_W
     log(f"[bench] mani_render {precision}: {dt*1e3:.1f} ms/image ({RENDER_H}x{RENDER_W}, "
-        f"1 target), {n_rays/dt:,.0f} rays/s")
+        f"{n_targets} target(s)), {n_rays/dt:,.0f} rays/s")
     return {"ms_per_image": round(dt * 1e3, 1), "rays_per_sec": round(n_rays / dt, 1),
-            "image": f"{RENDER_H}x{RENDER_W}", "n_targets": 1}
+            "image": f"{RENDER_H}x{RENDER_W}", "n_targets": n_targets}
 
 
 def bench_kernel_parity() -> dict:
@@ -304,6 +328,17 @@ def bench_kernel_parity() -> dict:
     max_err = float(np.max(np.abs(a - b)))
     scale = float(np.max(np.abs(a)))
     fwd_ok = bool(max_err <= 5e-3 * max(scale, 1.0))
+
+    # COMPILED sigma-stub parity (ADVICE r3): the render path's coarse pass swaps
+    # in sigma_stub_params; its exactness rests on the fused-operand row padding
+    # staying sublane-aligned, which interpret-mode CPU tests cannot see — gate
+    # the full-vs-stub sigma column on-device every bench run.
+    from dmnerf_tpu.core.mlp import sigma_stub_params
+
+    stub = np.asarray(jax.jit(q_pal)(sigma_stub_params(params), pts, dirs))
+    sigma_scale = float(np.max(np.abs(a[..., 3])))
+    stub_err = float(np.max(np.abs(stub[..., 3] - b[..., 3])))
+    stub_ok = bool(stub_err <= 1e-5 * max(sigma_scale, 1.0))
 
     # backward: a cotangent mixing every head channel, parameter grads compared
     # leaf-by-leaf as RELATIVE error (same loss as tests/test_kernels.py but at the
@@ -336,13 +371,15 @@ def bench_kernel_parity() -> dict:
     fwd_pal = _time(q_pal, params, pts, dirs)
     grad_xla = _time(jax.grad(make_loss(q_xla)), params)
     grad_pal = _time(jax.grad(make_loss(q_pal)), params)
-    ok = fwd_ok and bwd_ok
+    ok = fwd_ok and bwd_ok and stub_ok
     log(f"[bench] kernel parity: fwd max|Δ| {max_err:.2e} (scale {scale:.1f}), "
-        f"bwd max rel {bwd_rel:.2e} -> {'PASS' if ok else 'FAIL'}; "
+        f"bwd max rel {bwd_rel:.2e}, sigma-stub max|Δ| {stub_err:.2e} "
+        f"-> {'PASS' if ok else 'FAIL'}; "
         f"fwd ms xla {fwd_xla:.2f} pallas {fwd_pal:.2f}; "
         f"fwd+bwd ms xla {grad_xla:.2f} pallas {grad_pal:.2f}")
     return {"pass": ok, "max_abs_err": max_err, "out_scale": scale,
             "bwd_max_rel_err": bwd_rel, "bwd_pass": bwd_ok,
+            "sigma_stub_max_abs_err": stub_err, "sigma_stub_pass": stub_ok,
             "fwd_ms_xla": round(fwd_xla, 2), "fwd_ms_pallas": round(fwd_pal, 2),
             "grad_ms_xla": round(grad_xla, 2), "grad_ms_pallas": round(grad_pal, 2),
             "bwd_ms_xla_derived": round(grad_xla - fwd_xla, 2),
@@ -455,6 +492,10 @@ def main():
 
     detail["train_fp32"] = bench_train("float32")
     try:
+        detail["train_fp32_dense_ins"] = bench_train("float32", dense_ins=True)
+    except Exception as e:
+        detail["train_fp32_dense_ins"] = {"error": repr(e)}
+    try:
         detail["train_fp32_packed"] = bench_train_packed("float32")
     except Exception as e:
         detail["train_fp32_packed"] = {"error": repr(e)}
@@ -463,6 +504,10 @@ def main():
         detail["mani_render_fp32"] = bench_mani_render("float32")
     except Exception as e:
         detail["mani_render_fp32"] = {"error": repr(e)}
+    try:
+        detail["mani_render_fp32_2t"] = bench_mani_render("float32", n_targets=2)
+    except Exception as e:
+        detail["mani_render_fp32_2t"] = {"error": repr(e)}
     try:
         detail["train_bf16"] = bench_train("bfloat16")
         detail["render_bf16"] = bench_render("bfloat16")

@@ -109,6 +109,33 @@ def num_params(params: Params) -> int:
     return sum(int(p.size) for p in params.values())
 
 
+def rgb_stub_params(params: Params, stub_w: int = 8) -> Params:
+    """Shrink ONLY the rgb branch (rgb_feat/rgb_hid/rgb_out) to `stub_w`-wide
+    zero weights, keeping the trunk, density head AND instance head intact.
+
+    For forward-only consumers that need sigma + ins but not color: the
+    manipulator's pass-1 label accumulation reads only the accumulated instance
+    logits, and its exchanged-coarse weight recomputation reads only sigma
+    (reference manipulator.py:137-160) — the rgb branch is ~14% of the per-point
+    MXU work there, dead weight the Pallas kernel would otherwise execute
+    (XLA DCE cannot reach inside a pallas_call). Sigma and ins outputs are
+    EXACT by per-column matmul independence (same argument as
+    sigma_stub_params); the rgb channels of the result are garbage and must not
+    be consumed. Keep `stub_w` a multiple of 8 (f32 sublane tile) so the
+    fused-operand row padding stays aligned."""
+    W, zeros = params["density_w"].shape[0], jnp.zeros
+    dtype = params["density_w"].dtype
+    emb_views = params["rgb_hid_w"].shape[0] - params["rgb_feat_w"].shape[1]
+    out = dict(params)
+    out.update(
+        rgb_feat_w=zeros((W, stub_w), dtype), rgb_feat_b=zeros((stub_w,), dtype),
+        rgb_hid_w=zeros((stub_w + emb_views, stub_w), dtype),
+        rgb_hid_b=zeros((stub_w,), dtype),
+        rgb_out_w=zeros((stub_w, 3), dtype), rgb_out_b=zeros((3,), dtype),
+    )
+    return out
+
+
 def sigma_stub_params(params: Params, stub_w: int = 8) -> Params:
     """Shrink the rgb/ins head branches to `stub_w`-wide zero weights, keeping the
     trunk and density head intact.

@@ -79,6 +79,53 @@ def make_sharded_train_step(cfg: Config, mesh: Mesh, query_fn=None, N_ins=None):
     )
 
 
+def make_packed_sharded_steps(cfg: Config, sampler, N_ins, mesh: Mesh, pack: int):
+    """Scan-packed multi-chip dispatch: `pack` sample+step iterations fused into
+    one lax.scan INSIDE the mesh-jitted program — train.py's steps_per_dispatch
+    composed with the sharded step (round 3 built packing only single-device, so
+    multi-chip runs paid per-step dispatch; VERDICT r3 weak #4).
+
+    The in-graph sampler's batch is constrained to the 'data' sharding, so each
+    scanned step partitions exactly like make_sharded_train_step's program; the
+    key-split order matches the driver loop (key -> key, k_batch, k_step), so
+    the RNG stream — and the parameter trajectory — is byte-identical to
+    unpacked sharded training (gated by
+    tests/test_data_and_train.py::test_packed_sharded_matches_single_steps)."""
+    import functools
+
+    assert cfg.N_train % mesh.shape["data"] == 0, (
+        f"N_train={cfg.N_train} not divisible by data axis {mesh.shape['data']}"
+    )
+    from dmnerf_tpu.core.pipeline import make_query_fn
+
+    query_fn = make_query_fn(cfg, mesh=mesh)
+    raw_step = make_train_step(cfg, query_fn=query_fn, N_ins=N_ins, jit=False)
+    data = NamedSharding(mesh, P("data"))
+    repl = NamedSharding(mesh, P())
+    batch_sh = Batch(rays_o=data, rays_d=data, target_c=data, target_i=data,
+                     target_valid=data if N_ins is not None else None)
+
+    def _constrain(batch: Batch) -> Batch:
+        return Batch(*(x if (x is None or s is None)
+                       else jax.lax.with_sharding_constraint(x, s)
+                       for x, s in zip(batch, batch_sh)))
+
+    @functools.partial(jax.jit, donate_argnums=(0,),
+                       in_shardings=(repl, repl),
+                       out_shardings=(repl, repl, repl))
+    def packed(state: TrainState, key):
+        def body(carry, _):
+            st, k = carry
+            k, k_batch, k_step = jax.random.split(k, 3)
+            st, aux = raw_step(st, _constrain(sampler(k_batch)), k_step)
+            return (st, k), aux
+
+        (state, key), auxs = jax.lax.scan(body, (state, key), None, length=pack)
+        return state, key, auxs
+
+    return packed
+
+
 def make_sharded_image_renderer(cfg: Config, mesh: Mesh, query_fn=None):
     """Multi-chip inference: rays sharded over 'data', parameters replicated.
 
@@ -158,8 +205,12 @@ def make_sharded_manipulator_renderer(cfg: Config, mesh: Mesh, n_targets: int,
         if pad:
             import jax.numpy as jnp
 
-            tar_o = jnp.concatenate([tar_o, jnp.zeros_like(tar_o[:, :pad])], axis=1)
-            tar_d = jnp.concatenate([tar_d, jnp.zeros_like(tar_d[:, :pad])], axis=1)
+            # explicit shapes, NOT zeros_like of a slice: for n < pad (tiny debug
+            # calls) the slice would yield fewer than pad rows and the shard_map
+            # input shapes would mismatch (ADVICE r3)
+            zpad = jnp.zeros((tar_o.shape[0], pad, 3), tar_o.dtype)
+            tar_o = jnp.concatenate([tar_o, zpad], axis=1)
+            tar_d = jnp.concatenate([tar_d, zpad.astype(tar_d.dtype)], axis=1)
         fn = make_sharded(move_labels, keyed=key is not None)
         k = key if key is not None else jax.random.PRNGKey(0)
         out = fn(params_coarse, params_fine, oo, od, tar_o, tar_d, k)

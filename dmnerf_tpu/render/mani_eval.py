@@ -86,7 +86,10 @@ def manipulator_eval(
     run = _make_mani_renderer(cfg, n_targets=1)
     psnrs, ssims, lpipses, aps, full_map = [], [], [], [], {}
     # stochastic importance sampling like the reference (sample_pdf det=False,
-    # manipulator.py:148,170,187); fixed base seed for reproducible eval runs
+    # manipulator.py:148,170,187); fixed base seed for reproducible eval runs.
+    # NOTE: reproducible only per DEVICE COUNT — with >1 device the sharded
+    # renderer folds the device index into the key and splits per local chunk,
+    # so stochastic metrics differ (validly) between mesh sizes (ADVICE r3).
     import jax
     base_key = jax.random.PRNGKey(0)
 

@@ -40,7 +40,8 @@ def make_image_renderer(cfg: Config, query_fn: Optional[QueryFn] = None,
     and weights depend on sigma alone — so the coarse query runs with
     `sigma_stub_params` (trunk + density intact, heads stubbed), cutting ~25% of
     the coarse MXU work inside the Pallas kernel where XLA DCE cannot reach.
-    Output-identical to the full pipeline (gated by tests/test_core.py)."""
+    Output-identical to the full pipeline (gated by
+    tests/test_data_and_train.py::test_image_renderer_sigma_only_coarse_equivalent)."""
     if query_fn is None:
         query_fn = make_query_fn(cfg)
     chunk = cfg.N_test
@@ -48,7 +49,13 @@ def make_image_renderer(cfg: Config, query_fn: Optional[QueryFn] = None,
 
     def _slim_chunk(params_coarse_stub, params_fine, o, d):
         """render_rays' exact z-path (pipeline.py:100-126, perturb=False) with the
-        sigma-stub coarse query; only fine outputs are computed."""
+        sigma-stub coarse query; only fine outputs are computed.
+
+        The fine maps come from ONE weighted reduction over the channel-concat
+        [sigmoid(rgb) | z | ins_logits] instead of three separate [N,S,C]
+        reductions — measured -8 ms/256² image on v5e; per-channel math is
+        unchanged (scripts/dev/composite_probe2.py). Batched-matvec (einsum) and
+        in-kernel composite epilogues both measured SLOWER — see docs/PERF.md."""
         viewdirs = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
         pts = o[..., None, :] + d[..., None, :] * z_coarse[..., :, None]
         raw_c = query_fn(params_coarse_stub, pts, viewdirs)   # [N,S,5]: only sigma valid
@@ -57,8 +64,17 @@ def make_image_renderer(cfg: Config, query_fn: Optional[QueryFn] = None,
         z_samples = sample_pdf(z_mids, w[..., 1:-1], cfg.N_importance, key=None)
         z_fine = jnp.sort(jnp.concatenate([z_coarse, z_samples], axis=-1), axis=-1)
         pts_fine = o[..., None, :] + d[..., None, :] * z_fine[..., :, None]
-        out_f = composite(query_fn(params_fine, pts_fine, viewdirs), z_fine, d)
-        return {"rgb": out_f.rgb, "ins": out_f.ins, "depth": out_f.depth}
+        raw_f = query_fn(params_fine, pts_fine, viewdirs)
+        wf = composite(raw_f, z_fine, d).weights   # XLA DCEs the unused maps
+        vals = jnp.concatenate(
+            [jax.nn.sigmoid(raw_f[..., :3]), z_fine[..., None], raw_f[..., 4:]],
+            axis=-1)
+        acc = jnp.sum(vals * wf[..., None], axis=-2)
+        # same per-channel semantics as core.compositor.composite: rgb/depth
+        # weighted sums, ins = sigmoid(weighted logits) with the air channel
+        # dropped (reference render.py:22-26)
+        return {"rgb": acc[..., :3], "ins": jax.nn.sigmoid(acc[..., 4:])[..., :-1],
+                "depth": acc[..., 3]}
 
     @jax.jit
     def render_fn(params_coarse, params_fine, rays_o, rays_d):

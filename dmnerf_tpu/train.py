@@ -71,20 +71,36 @@ def build_sampler_and_step(cfg: Config, scene: SceneData):
         mesh = make_mesh()
         step = make_sharded_train_step(cfg, mesh, N_ins=n_ins)
         print(f"[train] sharded over {n_devices}-device mesh {mesh.shape}")
+        if cfg.steps_per_dispatch > 1:
+            packed = make_packed_steps(cfg, sampler, n_ins, mesh=mesh)
     else:
+        if n_devices > 1:
+            # loud, not silent: a non-divisible batch quietly costs the whole
+            # mesh's throughput (VERDICT r3 weak #4)
+            bar = "!" * 70
+            print(f"[train] {bar}\n"
+                  f"[train] WARNING: N_train={cfg.N_train} is NOT divisible by the "
+                  f"{n_devices} visible devices.\n"
+                  f"[train] FALLING BACK TO SINGLE-DEVICE training "
+                  f"(~{n_devices}x throughput lost).\n"
+                  f"[train] Set N_train to a multiple of {n_devices} to shard over "
+                  f"the mesh.\n[train] {bar}")
         step = make_train_step(cfg, N_ins=n_ins)
         if cfg.steps_per_dispatch > 1:
             packed = make_packed_steps(cfg, sampler, n_ins)
     return sampler, step, n_ins, packed
 
 
-def make_packed_steps(cfg: Config, sampler, n_ins):
+def make_packed_steps(cfg: Config, sampler, n_ins, mesh=None):
     """Fuse P = steps_per_dispatch sample+step iterations into one lax.scan
     dispatch. The body splits the carried key exactly like the driver loop
     (key -> key, k_batch, k_step), so the RNG stream — and therefore every
     batch and parameter trajectory — is byte-identical to unpacked training.
     Returns (packed_fn(state, key) -> (state, key, auxs[P]), P_eff) where
-    P_eff divides i_print so print boundaries always land on pack starts."""
+    P_eff divides i_print so print boundaries always land on pack starts.
+
+    mesh: compose packing with the sharded step (parallel.mesh
+    make_packed_sharded_steps) — the scan runs inside the mesh-jitted program."""
     import math
 
     import functools
@@ -96,6 +112,10 @@ def make_packed_steps(cfg: Config, sampler, n_ins):
     if P <= 1:
         print("[train] steps_per_dispatch: effective pack size 1 — packing disabled")
         return None
+    if mesh is not None:
+        from dmnerf_tpu.parallel.mesh import make_packed_sharded_steps
+
+        return make_packed_sharded_steps(cfg, sampler, n_ins, mesh, P), P
     raw_step = make_train_step(cfg, N_ins=n_ins, jit=False)
 
     @functools.partial(jax.jit, donate_argnums=(0,))

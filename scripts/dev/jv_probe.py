@@ -34,8 +34,6 @@ def _aps_where(cost, u, v, row4col, col4row, cur_row):
         masked = jnp.where(remaining, shortest, _INF)
         j = jnp.argmin(masked)
         min_val = masked[j]
-        rj = jnp.sum(jnp.where(ar == j, row4col, 0)) + jnp.where(
-            jnp.any((ar == j) & (row4col < 0)), -1 - 0, 0)
         # row4col[j] without gather:
         rj = jnp.sum(jnp.where(ar == j, row4col, 0))
         hit_free = rj < 0

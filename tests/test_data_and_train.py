@@ -436,3 +436,103 @@ def test_sharded_manipulator_renderer_matches_single_device_det():
     for k in single:
         np.testing.assert_allclose(np.asarray(sharded[k]), np.asarray(single[k]),
                                     atol=1e-5, rtol=1e-4, err_msg=k)
+
+
+def test_packed_sharded_matches_single_steps():
+    """steps_per_dispatch composed with the mesh (parallel.mesh
+    make_packed_sharded_steps): a 2-pack scanned INSIDE the mesh-jitted program
+    must reproduce the single-device unpacked trajectory (same key-split order,
+    GSPMD partitioning identical to the per-dispatch sharded step)."""
+    from dmnerf_tpu.data.samplers import make_full_sampler
+    from dmnerf_tpu.parallel.mesh import make_mesh, make_packed_sharded_steps
+
+    rng = np.random.RandomState(0)
+    M, H, W = 3, 8, 8
+    images = rng.rand(M, H, W, 3).astype(np.float32)
+    labels = rng.randint(0, 4, size=(M, H, W))
+    poses = np.stack([np.eye(4, dtype=np.float32)] * M)
+    poses[:, 2, 3] = 4.0
+    K = np.asarray([[8.0, 0, 4.0], [0, -8.0, 4.0], [0, 0, -1.0]], np.float32)
+    cfg = Config(netdepth=2, netwidth=32, multires=4, multires_views=2, skips=(0,),
+                 N_samples=8, N_importance=8, N_train=16, near=1.0, far=8.0,
+                 ins_num=4, perturb=1.0, penalize=True, tolerance=0.05, deta_w=0.05)
+    sampler = make_full_sampler(images, labels, poses, K, np.arange(M), cfg.N_train)
+    state = create_train_state(cfg, jax.random.PRNGKey(0))
+    key = jax.random.PRNGKey(7)
+
+    mesh = make_mesh(n_devices=8, devices=jax.devices("cpu"))
+    packed = make_packed_sharded_steps(cfg, sampler, None, mesh, pack=2)
+    s_packed, _, auxs = packed(jax.tree_util.tree_map(lambda x: x.copy(), state), key)
+
+    step = make_train_step(cfg)
+    s_single = jax.tree_util.tree_map(lambda x: x.copy(), state)
+    k = key
+    for _ in range(2):
+        k, kb, ks = jax.random.split(k, 3)
+        s_single, aux = step(s_single, sampler(kb), ks)
+    for name in s_single.params_fine:
+        np.testing.assert_allclose(
+            np.asarray(s_packed.params_fine[name]),
+            np.asarray(s_single.params_fine[name]), atol=2e-6, rtol=2e-4,
+            err_msg=f"packed-sharded trajectory diverged at {name}")
+    np.testing.assert_allclose(float(auxs["total_loss"][-1]),
+                               float(aux["total_loss"]), rtol=1e-4)
+
+
+def test_sharded_manipulator_keyed_mode_distinct_per_shard():
+    """det=False sharded manipulation: the device-index fold_in must give each
+    shard an independent inverse-CDF stream. With IDENTICAL per-shard ray
+    bundles, det mode yields identical per-shard outputs while keyed mode yields
+    finite but DISTINCT ones (VERDICT r3 weak #5)."""
+    from dmnerf_tpu.parallel.mesh import make_mesh, make_sharded_manipulator_renderer
+
+    cfg = tiny_config(N_test=16)
+    state = create_train_state(cfg, jax.random.PRNGKey(0))
+    rng = np.random.RandomState(6)
+    m = 16  # rays per shard; every shard sees the SAME bundle
+    base_d = rng.randn(m, 3).astype(np.float32)
+    base_d[:, 2] = np.abs(base_d[:, 2]) + 1.0
+    ro = jnp.zeros((8 * m, 3), jnp.float32)
+    rd = jnp.asarray(np.tile(base_d, (8, 1)))
+    tar_o = (ro - jnp.asarray([0.0, 0.25, 0.0]))[None]
+    tar_d = rd[None]
+    mesh = make_mesh(n_devices=8, devices=jax.devices("cpu"))
+    run = make_sharded_manipulator_renderer(cfg, mesh, n_targets=1)
+    args = (state.params_coarse, state.params_fine, ro, rd, tar_o, tar_d, (1,))
+
+    det = np.asarray(run(*args)["rgb"]).reshape(8, m, 3)
+    for s in range(1, 8):
+        np.testing.assert_array_equal(det[s], det[0],
+                                      err_msg=f"det mode shard {s} != shard 0")
+
+    keyed = np.asarray(run(*args, key=jax.random.PRNGKey(5))["rgb"]).reshape(8, m, 3)
+    assert np.isfinite(keyed).all()
+    diffs = [float(np.max(np.abs(keyed[s] - keyed[0]))) for s in range(1, 8)]
+    assert max(diffs) > 0.0, "keyed shards drew identical inverse-CDF streams"
+
+
+def test_nondivisible_multidevice_fallback_warns(capsys):
+    """N_train % n_devices != 0 on a multi-device host must fall back LOUDLY
+    (round 3 fell back silently, quietly losing the mesh's throughput)."""
+    from dmnerf_tpu.train import build_sampler_and_step
+
+    assert len(jax.devices()) == 8, "conftest must force 8 host devices"
+    cfg = tiny_config(N_train=17)  # 17 % 8 != 0
+    _sampler, _step, _n_ins, packed = build_sampler_and_step(cfg, _FakeScene())
+    out = capsys.readouterr().out
+    assert "FALLING BACK TO SINGLE-DEVICE" in out
+    assert "multiple of 8" in out
+
+
+class _FakeScene:
+    """Minimal SceneData stand-in for sampler construction."""
+
+    def __init__(self):
+        rng = np.random.RandomState(0)
+        self.images = rng.rand(2, 8, 8, 3).astype(np.float32)
+        self.gt_labels = rng.randint(0, 4, size=(2, 8, 8))
+        self.poses = np.stack([np.eye(4, dtype=np.float32)] * 2)
+        self.K = np.asarray([[8.0, 0, 4.0], [0, -8.0, 4.0], [0, 0, -1.0]], np.float32)
+        self.i_train = np.arange(2)
+        self.crop_mask = None
+        self.ins_indices = None

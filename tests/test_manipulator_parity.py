@@ -145,3 +145,40 @@ def setup_model():
                           input_ch_pts=trp.CH_PTS, input_ch_views=trp.CH_VIEWS,
                           skips=trp.SKIPS)
     return params, trp._to_torch_model(params)
+
+
+def test_manipulate_rays_rgb_stub_equivalent(setup_model):
+    """rgb_stub=True (pass-1 label-accumulation queries run with rgb_stub_params)
+    must be output-IDENTICAL to rgb_stub=False: the stubbed rgb channels are
+    never consumed (labels read ins, weights read sigma; the target coarse query
+    that feeds tar_rgb stays full). Checked in det AND keyed modes."""
+    params, _ = setup_model
+    rng = np.random.RandomState(11)
+    n = 12
+    rays_o = rng.randn(n, 3).astype(np.float32) * 0.1
+    rays_d = rng.randn(n, 3).astype(np.float32)
+    rays_d[:, 2] = np.abs(rays_d[:, 2]) + 0.5
+    tar_o = rays_o + np.array([0.3, 0.0, 0.0], np.float32)
+    tar_d = rays_d.copy()
+
+    cfg = Config(netdepth=trp.D, netwidth=trp.W, multires=trp.MULTIRES,
+                 multires_views=trp.MULTIRES_VIEWS, skips=trp.SKIPS,
+                 N_samples=9, N_importance=8, near=2.0, far=6.0, ins_num=INS,
+                 use_pallas=False)
+    q = make_xla_query_fn(trp.MULTIRES, trp.MULTIRES_VIEWS, trp.D, trp.SKIPS)
+    import jax
+
+    for key in (None, jax.random.PRNGKey(3)):
+        kwargs = dict(query_fn=q, key=key)
+        a = manipulate_rays(cfg, params, params,
+                            (jnp.asarray(rays_o), jnp.asarray(rays_d)),
+                            [(jnp.asarray(tar_o), jnp.asarray(tar_d))],
+                            [2], rgb_stub=True, **kwargs)
+        b = manipulate_rays(cfg, params, params,
+                            (jnp.asarray(rays_o), jnp.asarray(rays_d)),
+                            [(jnp.asarray(tar_o), jnp.asarray(tar_d))],
+                            [2], rgb_stub=False, **kwargs)
+        assert set(a) == set(b)
+        for k in a:
+            np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]),
+                                          err_msg=f"{k} (key={key is not None})")
