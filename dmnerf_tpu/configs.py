@@ -99,7 +99,11 @@ class Config:
     no_reload: bool = False
 
     # --- TPU-native additions (no reference counterpart; SURVEY.md §2.2, §5) ---
-    precision: str = "float32"    # float32 for parity; bfloat16 perf mode
+    # precision: NOT a speed knob on TPU — the MXU rounds f32 matmul inputs to
+    # bf16 at default precision anyway, so bf16 measures within noise of f32
+    # (31.3 vs 31.1 ms/step, docs/PERF.md). bfloat16 is a memory-headroom mode
+    # (half-size params/optimizer state); keep float32 unless HBM-bound.
+    precision: str = "float32"
     use_pallas: bool = True       # fused Pallas MLP kernel vs pure-XLA path
     # Pallas kernel knobs (ADVICE r2: make the train path's choice explicit and
     # recorded in args.txt rather than silent kernel defaults). None = the kernel

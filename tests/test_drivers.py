@@ -154,3 +154,34 @@ def test_load_color_dict_reference_nested_layout(env):
 def test_load_color_dict_fallback_identity(env):
     got = load_color_dict(env)
     assert got == {str(i): i for i in range(env.ins_num)}
+
+
+def test_mesh_sigma_query_matches_direct():
+    """make_sigma_query (platform query path + sigma_stub_params) must equal the
+    direct PE+MLP sigma: the stub keeps sigma exact by per-column matmul
+    independence, and zero view dirs cannot leak into the density branch."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dmnerf_tpu.configs import Config
+    from dmnerf_tpu.core.embedding import positional_encoding
+    from dmnerf_tpu.core.mlp import dm_nerf_apply
+    from dmnerf_tpu.render.trainstep import create_train_state
+    from dmnerf_tpu.tools.mesh_extract import make_sigma_query
+
+    cfg = Config(netdepth=2, netwidth=32, multires=4, multires_views=2, skips=(0,),
+                 N_samples=8, N_importance=8, N_train=16, near=1.0, far=8.0,
+                 ins_num=4)
+    state = create_train_state(cfg, jax.random.PRNGKey(0))
+    rng = np.random.RandomState(2)
+    pts = jnp.asarray(rng.uniform(-2, 2, (300, 3)).astype(np.float32))  # odd n: pad path
+
+    q = make_sigma_query(cfg, chunk=128, samples=8)
+    sig = np.asarray(q(state.params_fine, pts))
+
+    emb_p = positional_encoding(pts, cfg.multires)
+    emb_d = positional_encoding(jnp.zeros_like(pts), cfg.multires_views)
+    raw = dm_nerf_apply(state.params_fine, emb_p, emb_d, D=cfg.netdepth,
+                        skips=tuple(cfg.skips))
+    np.testing.assert_allclose(sig, np.asarray(raw[..., 3]), rtol=1e-6, atol=1e-6)
