@@ -340,6 +340,17 @@ def bench_kernel_parity() -> dict:
     stub_err = float(np.max(np.abs(stub[..., 3] - b[..., 3])))
     stub_ok = bool(stub_err <= 1e-5 * max(sigma_scale, 1.0))
 
+    # rgb_stub (the manipulator's pass-1 label queries): sigma AND ins columns
+    # vs the full pytree — the first ASYMMETRIC head-width pytree the kernel
+    # runs (rgb 8-wide, ins 256-wide), so compiled operand-fusion grouping is
+    # exercised beyond what the symmetric sigma stub covers.
+    from dmnerf_tpu.core.mlp import rgb_stub_params
+
+    rstub = np.asarray(jax.jit(q_pal)(rgb_stub_params(params), pts, dirs))
+    si_scale = float(np.max(np.abs(a[..., 3:])))
+    rstub_err = float(np.max(np.abs(rstub[..., 3:] - b[..., 3:])))
+    rstub_ok = bool(rstub_err <= 1e-5 * max(si_scale, 1.0))
+
     # backward: a cotangent mixing every head channel, parameter grads compared
     # leaf-by-leaf as RELATIVE error (same loss as tests/test_kernels.py but at the
     # flagship shape, COMPILED)
@@ -371,15 +382,16 @@ def bench_kernel_parity() -> dict:
     fwd_pal = _time(q_pal, params, pts, dirs)
     grad_xla = _time(jax.grad(make_loss(q_xla)), params)
     grad_pal = _time(jax.grad(make_loss(q_pal)), params)
-    ok = fwd_ok and bwd_ok and stub_ok
+    ok = fwd_ok and bwd_ok and stub_ok and rstub_ok
     log(f"[bench] kernel parity: fwd max|Δ| {max_err:.2e} (scale {scale:.1f}), "
-        f"bwd max rel {bwd_rel:.2e}, sigma-stub max|Δ| {stub_err:.2e} "
-        f"-> {'PASS' if ok else 'FAIL'}; "
+        f"bwd max rel {bwd_rel:.2e}, sigma-stub max|Δ| {stub_err:.2e}, "
+        f"rgb-stub max|Δ| {rstub_err:.2e} -> {'PASS' if ok else 'FAIL'}; "
         f"fwd ms xla {fwd_xla:.2f} pallas {fwd_pal:.2f}; "
         f"fwd+bwd ms xla {grad_xla:.2f} pallas {grad_pal:.2f}")
     return {"pass": ok, "max_abs_err": max_err, "out_scale": scale,
             "bwd_max_rel_err": bwd_rel, "bwd_pass": bwd_ok,
             "sigma_stub_max_abs_err": stub_err, "sigma_stub_pass": stub_ok,
+            "rgb_stub_max_abs_err": rstub_err, "rgb_stub_pass": rstub_ok,
             "fwd_ms_xla": round(fwd_xla, 2), "fwd_ms_pallas": round(fwd_pal, 2),
             "grad_ms_xla": round(grad_xla, 2), "grad_ms_pallas": round(grad_pal, 2),
             "bwd_ms_xla_derived": round(grad_xla - fwd_xla, 2),

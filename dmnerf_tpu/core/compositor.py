@@ -83,3 +83,28 @@ def composite(
         ins_map = ins_map[..., :-1]
 
     return Composited(rgb=rgb_map, weights=weights, depth=depth_map, ins=ins_map)
+
+
+def composite_maps(raw, z_vals, rays_d, keep_air: bool = False):
+    """Forward-only fast path when rgb, depth AND ins are all consumed: ONE
+    weighted reduction over the channel-concat [sigmoid(rgb) | z | ins_logits]
+    instead of three separate [N,S,C] reductions — measured −8 ms per 256²
+    image on v5e (scripts/dev/composite_probe2.py); per-channel math identical
+    to composite() (same reference render.py:6-28 / manipulator.py:86-110
+    semantics — the ins weight detach is irrelevant with no gradient path, and
+    the air-drop slice commutes with the elementwise sigmoid).
+
+    Returns (rgb [N,3], ins [N, C(-1 if not keep_air)], depth [N]). Used by the
+    image renderer (keep_air=False) and the manipulator's final composite
+    (keep_air=True). NOTE: batched-matvec (einsum) and in-Pallas epilogue
+    formulations of this reduction both measured SLOWER — see docs/PERF.md
+    dead ends."""
+    w = composite(raw, z_vals, rays_d, keep_air=True,
+                  detach_ins_weights=False).weights  # XLA DCEs the unused maps
+    vals = jnp.concatenate(
+        [jax.nn.sigmoid(raw[..., :3]), z_vals[..., None], raw[..., 4:]], axis=-1)
+    acc = jnp.sum(vals * w[..., None], axis=-2)
+    ins = jax.nn.sigmoid(acc[..., 4:])
+    if not keep_air:
+        ins = ins[..., :-1]
+    return acc[..., :3], ins, acc[..., 3]

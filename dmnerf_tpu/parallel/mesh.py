@@ -46,12 +46,11 @@ def shard_batch(mesh: Mesh, batch: Batch) -> Batch:
     return Batch(*(None if x is None else jax.device_put(x, sh) for x in batch))
 
 
-def make_sharded_train_step(cfg: Config, mesh: Mesh, query_fn=None, N_ins=None):
-    """Like render.trainstep.make_train_step, but jitted over the mesh with explicit
-    in/out shardings. Per-ray batch axes are sharded on 'data'; state is replicated.
-
-    NOTE: cfg.N_train must be divisible by the 'data' axis size.
-    """
+def _sharded_step_parts(cfg: Config, mesh: Mesh, query_fn, N_ins):
+    """Shared setup for the per-dispatch AND scan-packed sharded steps: ONE
+    place owns the batch-sharding policy, so the two programs can never
+    partition differently (the packed==unpacked byte-identical-trajectory
+    guarantee depends on that). Returns (raw_step, batch_sh, repl)."""
     assert cfg.N_train % mesh.shape["data"] == 0, (
         f"N_train={cfg.N_train} not divisible by data axis {mesh.shape['data']}"
     )
@@ -62,13 +61,22 @@ def make_sharded_train_step(cfg: Config, mesh: Mesh, query_fn=None, N_ins=None):
 
         query_fn = make_query_fn(cfg, mesh=mesh)
     raw_step = make_train_step(cfg, query_fn=query_fn, N_ins=N_ins, jit=False)
-
     data = NamedSharding(mesh, P("data"))
     repl = NamedSharding(mesh, P())
     # the crop sampler (the only producer of target_valid) is always paired with
     # an N_ins labeled suffix, so key the mask sharding off that
     batch_sh = Batch(rays_o=data, rays_d=data, target_c=data, target_i=data,
                      target_valid=data if N_ins is not None else None)
+    return raw_step, batch_sh, repl
+
+
+def make_sharded_train_step(cfg: Config, mesh: Mesh, query_fn=None, N_ins=None):
+    """Like render.trainstep.make_train_step, but jitted over the mesh with explicit
+    in/out shardings. Per-ray batch axes are sharded on 'data'; state is replicated.
+
+    NOTE: cfg.N_train must be divisible by the 'data' axis size.
+    """
+    raw_step, batch_sh, repl = _sharded_step_parts(cfg, mesh, query_fn, N_ins)
 
     # pytree-prefix shardings: `repl` broadcasts over the whole TrainState / aux trees
     return jax.jit(
@@ -93,17 +101,7 @@ def make_packed_sharded_steps(cfg: Config, sampler, N_ins, mesh: Mesh, pack: int
     tests/test_data_and_train.py::test_packed_sharded_matches_single_steps)."""
     import functools
 
-    assert cfg.N_train % mesh.shape["data"] == 0, (
-        f"N_train={cfg.N_train} not divisible by data axis {mesh.shape['data']}"
-    )
-    from dmnerf_tpu.core.pipeline import make_query_fn
-
-    query_fn = make_query_fn(cfg, mesh=mesh)
-    raw_step = make_train_step(cfg, query_fn=query_fn, N_ins=N_ins, jit=False)
-    data = NamedSharding(mesh, P("data"))
-    repl = NamedSharding(mesh, P())
-    batch_sh = Batch(rays_o=data, rays_d=data, target_c=data, target_i=data,
-                     target_valid=data if N_ins is not None else None)
+    raw_step, batch_sh, repl = _sharded_step_parts(cfg, mesh, None, N_ins)
 
     def _constrain(batch: Batch) -> Batch:
         return Batch(*(x if (x is None or s is None)

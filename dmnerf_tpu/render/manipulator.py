@@ -39,7 +39,7 @@ import jax
 import jax.numpy as jnp
 
 from dmnerf_tpu.configs import Config
-from dmnerf_tpu.core.compositor import composite
+from dmnerf_tpu.core.compositor import composite, composite_maps
 from dmnerf_tpu.core.pipeline import QueryFn, make_query_fn
 from dmnerf_tpu.core.sampling import sample_pdf, z_val_sample
 
@@ -111,16 +111,10 @@ def _mani_composite(raw, z_vals, rays_d):
 
 
 def _mani_composite_maps(raw, z_vals, rays_d):
-    """Fully-consumed composite (rgb + depth + ins-with-air) as ONE weighted
-    reduction over the channel-concat [sigmoid(rgb) | z | ins_logits] — the same
-    single-reduction layout the image renderer uses (measured -8 ms/image there;
+    """Final composite (rgb + depth + ins-with-air) via the shared
+    single-reduction fast path (core.compositor.composite_maps; −8 ms/image,
     per-channel math identical to _mani_composite). Returns (rgb, ins, depth)."""
-    w = composite(raw, z_vals, rays_d, keep_air=True,
-                  detach_ins_weights=False).weights   # XLA DCEs the unused maps
-    vals = jnp.concatenate(
-        [jax.nn.sigmoid(raw[..., :3]), z_vals[..., None], raw[..., 4:]], axis=-1)
-    acc = jnp.sum(vals * w[..., None], axis=-2)
-    return acc[..., :3], jax.nn.sigmoid(acc[..., 4:]), acc[..., 3]
+    return composite_maps(raw, z_vals, rays_d, keep_air=True)
 
 
 def manipulate_rays(

@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from dmnerf_tpu.configs import Config
-from dmnerf_tpu.core.compositor import composite
+from dmnerf_tpu.core.compositor import composite, composite_maps
 from dmnerf_tpu.core.mlp import sigma_stub_params
 from dmnerf_tpu.core.pipeline import QueryFn, make_query_fn, render_rays
 from dmnerf_tpu.core.sampling import sample_pdf, z_val_sample
@@ -51,11 +51,9 @@ def make_image_renderer(cfg: Config, query_fn: Optional[QueryFn] = None,
         """render_rays' exact z-path (pipeline.py:100-126, perturb=False) with the
         sigma-stub coarse query; only fine outputs are computed.
 
-        The fine maps come from ONE weighted reduction over the channel-concat
-        [sigmoid(rgb) | z | ins_logits] instead of three separate [N,S,C]
-        reductions — measured -8 ms/256² image on v5e; per-channel math is
-        unchanged (scripts/dev/composite_probe2.py). Batched-matvec (einsum) and
-        in-kernel composite epilogues both measured SLOWER — see docs/PERF.md."""
+        The fine maps come from core.compositor.composite_maps (ONE weighted
+        reduction over the channel-concat, −8 ms/256² image vs three separate
+        reductions; semantics identical — see its docstring)."""
         viewdirs = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
         pts = o[..., None, :] + d[..., None, :] * z_coarse[..., :, None]
         raw_c = query_fn(params_coarse_stub, pts, viewdirs)   # [N,S,5]: only sigma valid
@@ -65,16 +63,8 @@ def make_image_renderer(cfg: Config, query_fn: Optional[QueryFn] = None,
         z_fine = jnp.sort(jnp.concatenate([z_coarse, z_samples], axis=-1), axis=-1)
         pts_fine = o[..., None, :] + d[..., None, :] * z_fine[..., :, None]
         raw_f = query_fn(params_fine, pts_fine, viewdirs)
-        wf = composite(raw_f, z_fine, d).weights   # XLA DCEs the unused maps
-        vals = jnp.concatenate(
-            [jax.nn.sigmoid(raw_f[..., :3]), z_fine[..., None], raw_f[..., 4:]],
-            axis=-1)
-        acc = jnp.sum(vals * wf[..., None], axis=-2)
-        # same per-channel semantics as core.compositor.composite: rgb/depth
-        # weighted sums, ins = sigmoid(weighted logits) with the air channel
-        # dropped (reference render.py:22-26)
-        return {"rgb": acc[..., :3], "ins": jax.nn.sigmoid(acc[..., 4:])[..., :-1],
-                "depth": acc[..., 3]}
+        rgb, ins, depth = composite_maps(raw_f, z_fine, d, keep_air=False)
+        return {"rgb": rgb, "ins": ins, "depth": depth}
 
     @jax.jit
     def render_fn(params_coarse, params_fine, rays_o, rays_d):

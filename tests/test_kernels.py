@@ -178,3 +178,23 @@ def test_sigma_stub_params_sigma_exact(pe_mode):
         stub_raw = np.asarray(q(stub, pts, dirs))
         assert stub_raw.shape[-1] == 5  # rgb(3) + sigma + 1 stub ins channel
         np.testing.assert_array_equal(stub_raw[..., 3], full_sigma)
+
+
+@pytest.mark.parametrize("pe_mode", ["kernel", "outside", "kernel_t"])
+def test_rgb_stub_params_sigma_and_ins_exact(pe_mode):
+    """rgb_stub_params (the manipulator's pass-1 label queries): sigma AND every
+    instance-logit channel must be bit-exact vs the full pytree on BOTH query
+    paths — the ins branch is untouched and sigma is an independent matmul
+    column; only the (unconsumed) rgb channels may differ. This is the first
+    ASYMMETRIC head-width pytree the fused kernel executes (rgb 8-wide,
+    ins 256-wide), so it exercises fused-operand grouping the symmetric
+    sigma_stub cannot."""
+    from dmnerf_tpu.core.mlp import rgb_stub_params
+
+    params, pts, dirs, q_xla, q_pal = _setup(*CASES[1], pe_mode=pe_mode)
+    stub = rgb_stub_params(params)
+    for q in (q_xla, q_pal):
+        full = np.asarray(q(params, pts, dirs))
+        stub_raw = np.asarray(q(stub, pts, dirs))
+        assert stub_raw.shape == full.shape  # ins head intact -> same channels
+        np.testing.assert_array_equal(stub_raw[..., 3:], full[..., 3:])
