@@ -203,3 +203,25 @@ def test_render_rays_fine_z_gradient_blocked():
     g = jax.grad(loss_fine_only)(pc)
     total = sum(float(jnp.abs(v).sum()) for v in jax.tree.leaves(g))
     assert total == 0.0
+
+
+def test_composite_maps_matches_composite():
+    """composite_maps (the single-reduction fast path shared by the image
+    renderer and the manipulator's final composite) must reproduce composite()'s
+    rgb/depth/ins channel-for-channel, for both air modes."""
+    from dmnerf_tpu.core.compositor import composite, composite_maps
+
+    rng = np.random.RandomState(0)
+    N, S, C = 17, 11, 6
+    raw = jnp.asarray(rng.randn(N, S, 4 + C).astype(np.float32))
+    z = jnp.sort(jnp.asarray(rng.rand(N, S).astype(np.float32) * 5 + 1), axis=-1)
+    d = jnp.asarray(rng.randn(N, 3).astype(np.float32))
+    for keep_air in (False, True):
+        ref = composite(raw, z, d, keep_air=keep_air, detach_ins_weights=False)
+        rgb, ins, depth = composite_maps(raw, z, d, keep_air=keep_air)
+        np.testing.assert_allclose(np.asarray(rgb), np.asarray(ref.rgb),
+                                   rtol=1e-6, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(depth), np.asarray(ref.depth),
+                                   rtol=1e-6, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(ins), np.asarray(ref.ins),
+                                   rtol=1e-6, atol=1e-6)
