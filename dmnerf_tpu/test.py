@@ -51,17 +51,22 @@ def load_color_dict(cfg: Config):
 def load_params(cfg: Config):
     state = create_train_state(cfg, jax.random.PRNGKey(cfg.seed))
     step = None
-    log_dir = cfg.log_dir
     if cfg.ft_path:
-        log_dir = cfg.ft_path
-    if not cfg.no_reload:
-        restored = restore_checkpoint(log_dir, state)
+        # ft_path: evaluate the EXACT checkpoint the path names (same semantics
+        # as the train driver's fine-tune load); loud error if it names nothing
+        from dmnerf_tpu.utils.checkpoint import restore_from_path
+
+        state = restore_from_path(cfg.ft_path, state)
+        step = int(state.step)
+        print(f"[test] loaded checkpoint step {step} from ft_path {cfg.ft_path}")
+    elif not cfg.no_reload:
+        restored = restore_checkpoint(cfg.log_dir, state)
         if restored is not None:
             state = restored
             step = int(state.step)
-            print(f"[test] loaded checkpoint step {step} from {log_dir}")
+            print(f"[test] loaded checkpoint step {step} from {cfg.log_dir}")
         else:
-            print(f"[test] WARNING: no checkpoint under {log_dir}; using init params")
+            print(f"[test] WARNING: no checkpoint under {cfg.log_dir}; using init params")
     return state, step or 0
 
 

@@ -17,7 +17,10 @@ Behavioral parity with /root/reference/tools/mesh_generator.py:12-143:
    mesh_generator.py:124), argmax instance -> palette color -> color_mesh.ply.
 
 TPU-first: both the 16.7M-point sigma sweep and the per-vertex ray render run as
-jitted lax.map chunk sweeps on device; everything else is host NumPy.
+jitted lax.map chunk sweeps on device; with >1 visible device both shard over the
+'data' mesh axis (parallel.mesh.make_sharded_sigma_query /
+make_sharded_image_renderer), like the eval/mani drivers. Everything else is host
+NumPy.
 """
 
 from __future__ import annotations
@@ -130,8 +133,22 @@ def mesh_main(
     else:
         scene_transform = np.eye(4)
 
+    # >1 visible device: shard the grid sweep and the vertex-color render over
+    # the 'data' mesh axis, like the eval/mani drivers (VERDICT r4 weak #4)
+    import jax
+
+    n_devices = len(jax.devices())
+    if n_devices > 1:
+        from dmnerf_tpu.parallel.mesh import make_mesh, make_sharded_sigma_query
+
+        device_mesh = make_mesh()
+        print(f"[mesh] sharded over {n_devices}-device mesh {device_mesh.shape}")
+        sigma_query = make_sharded_sigma_query(cfg, device_mesh)
+    else:
+        device_mesh = None
+        sigma_query = make_sigma_query(cfg)
+
     grid = build_grid(scene_transform, np.asarray(extents), grid_dim)
-    sigma_query = make_sigma_query(cfg)
     sigma = np.asarray(sigma_query(params_fine, jnp.asarray(grid)))
 
     voxel = (cfg.far - cfg.near) / cfg.N_importance
@@ -168,7 +185,12 @@ def mesh_main(
     rays_o = v_sw - rays_d * 0.03 * cfg.near
 
     mesh_cfg = cfg.replace(near=0.01, far=15.0, perturb=0.0)
-    renderer = make_image_renderer(mesh_cfg)
+    if device_mesh is not None:
+        from dmnerf_tpu.parallel.mesh import make_sharded_image_renderer
+
+        renderer = make_sharded_image_renderer(mesh_cfg, device_mesh)
+    else:
+        renderer = make_image_renderer(mesh_cfg)
     out = renderer(params_coarse, params_fine,
                    jnp.asarray(rays_o, jnp.float32), jnp.asarray(rays_d, jnp.float32))
     pred_label = np.argmax(np.asarray(out["ins"]), axis=-1)

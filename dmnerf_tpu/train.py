@@ -162,9 +162,12 @@ def train(cfg: Config, scene: SceneData | None = None) -> None:
             state = restored
             print(f"[train] resumed from step {int(state.step)}")
     if cfg.ft_path:
-        restored = restore_checkpoint(os.path.dirname(os.path.dirname(cfg.ft_path)), state)
-        if restored is not None:
-            state = restored
+        # fine-tune from the EXACT checkpoint the path names (never a silent
+        # latest-step substitution); loud error if it names nothing
+        from dmnerf_tpu.utils.checkpoint import restore_from_path
+
+        state = restore_from_path(cfg.ft_path, state)
+        print(f"[train] fine-tuning from {cfg.ft_path} (step {int(state.step)})")
 
     sampler, step_fn, _, packed = build_sampler_and_step(cfg, scene)
     P = packed[1] if packed is not None else 1
