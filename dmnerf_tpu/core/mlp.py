@@ -116,8 +116,9 @@ def rgb_stub_params(params: Params, stub_w: int = 8) -> Params:
     For forward-only consumers that need sigma + ins but not color: the
     manipulator's pass-1 label accumulation reads only the accumulated instance
     logits, and its exchanged-coarse weight recomputation reads only sigma
-    (reference manipulator.py:137-160) — the rgb branch is ~14% of the per-point
-    MXU work there, dead weight the Pallas kernel would otherwise execute
+    (reference manipulator.py:137-160) — the rgb branch is dead weight the
+    Pallas kernel would otherwise execute (~14% of per-point MXU work
+    pre-head-fusion, less but still nonzero after the r5 head algebra fusion)
     (XLA DCE cannot reach inside a pallas_call). Sigma and ins outputs are
     EXACT by per-column matmul independence (same argument as
     sigma_stub_params); the rgb channels of the result are garbage and must not
@@ -145,9 +146,11 @@ def sigma_stub_params(params: Params, stub_w: int = 8) -> Params:
     pass exists solely to produce `sample_pdf` weights — reference render.py:62-68
     via tester.py:62-76) still pay the full head stack through the fused Pallas
     kernel, where XLA's dead-code elimination cannot reach. Both query paths are
-    shape-driven, so swapping in this pytree removes ~25% of the per-point MXU
-    work; the sigma column is EXACT (each output column of a matmul is an
-    independent dot product), while the rgb/ins channels of the result are
+    shape-driven, so swapping in this pytree removes the whole head branch MXU
+    work (~25% per-point pre-head-fusion, less after the r5 head algebra
+    fusion); the sigma column is EXACT (each output column of a matmul is an
+    independent dot product — and the fused M1's density column is the same
+    matmul column), while the rgb/ins channels of the result are
     garbage and must not be consumed. `stub_w` must be a multiple of 8 (f32
     sublane tile) so the fused-operand row padding stays aligned."""
     assert stub_w % 8 == 0, f"stub_w must be a multiple of 8 (f32 sublane tile), got {stub_w}"

@@ -28,14 +28,31 @@ the same order, so every trunk layer is a single MXU contraction:
 
   * layer 0:        e @ W0k                (W0k = W0[perm])
   * skip layer i:   [h | e] @ Wik          (Wik = [W_h ; W_emb[perm]])
-  * rgb hidden:     [feat | ed] @ Wrhk
-  * the three head linears that read the trunk output (rgb_feature, ins_feature,
-    density — reference dm_nerf.py:74-76) are column-concatenated into ONE
-    [W, Wf+Wi+1] matmul; a lane slice splits the result.
 
 This matters on the MXU: a matmul with K=3 or K=30 costs a full 128-wide K block,
 so the previous split-operand layout (x/sin/cos as 3 matmuls) paid 3 MXU passes
 where one suffices — ~17% of all forward passes at the flagship topology.
+
+Head algebra fusion (r5). The reference's rgb_feature / ins_feature linears have
+NO activation (dm_nerf.py:74-76: ``feature = self.feature_linear(h)`` straight
+into the hidden linears), so they fold into the following layers by
+associativity, OUTSIDE the kernel, in f32:
+
+    rh = relu(rf@Wrh1 + ed@Wrh2 + brh),  rf = h@Wrf + brf
+       = relu(h@(Wrf@Wrh1) + ed@Wrh2 + (brf@Wrh1 + brh))
+    ih = relu(h@(Wif@Wih) + (bif@Wih + bih))                 (same shape of move)
+
+The packed head is therefore ONE [W, Hr+Hi+1] matmul
+M1 = [Wrf·Wrh1 | Wif·Wih | Wd] (the trailing density column is bit-identical to
+the old fused head's — per-column matmul independence), the K=27 viewdir
+contraction, and the two small output matmuls. Measured on v5e
+(scripts/dev/mfu_probe3/4.py): the old head region ran at 0.38 of peak —
+dominated by the [T,513] head matmul plus its slice/cast relayouts — and the
+fusion removes 2.6x of its model FLOPs and the relayouts (3.25 -> 2.60 ms on
+the fine pass; max|Δ| 3.8e-4 at out scale 0.22, σ column exact). The backward
+maps the fused cotangents (dM1, db1, ...) back to the reference parameters by
+the product rule in f32 outside the kernel — exact chain rule, and the ins
+branch still sends NO cotangent into the trunk (the dm_nerf.py:95 wall).
 
 Activation cache dtype. On TPU, f32 matmuls at default precision round their
 inputs to bf16 inside the MXU, so storing the *cached* activations (backward
@@ -67,12 +84,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 Params = Dict[str, jnp.ndarray]
 
-# packed-operand order after the trunk layers (head_w/b is the column-fused
-# [rgb_feat | ins_feat | density] linear)
+# packed-operand order after the trunk layers (head algebra fusion, see module
+# docstring): M1 = [Wrf·Wrh1 | Wif·Wih | Wd] with its fused bias, the viewdir
+# contraction Wrh2 (bias slot structurally zero), and the two output linears.
 _HEAD_KEYS = [
-    "head_w", "head_b",
-    "rgb_hid_w", "rgb_hid_b", "rgb_out_w", "rgb_out_b",
-    "ins_hid_w", "ins_hid_b", "ins_out_w", "ins_out_b",
+    "m1_w", "m1_b",
+    "rgb_ed_w", "rgb_ed_zero_b",
+    "rgb_out_w", "rgb_out_b",
+    "ins_out_w", "ins_out_b",
 ]
 
 
@@ -138,17 +157,25 @@ def _pack(params: Params, multires: int, multires_views: int, D: int,
             out += [jnp.concatenate([w[:hs], w[hs:][permp]], axis=0), b]
         else:
             out += [w, b]
-    out += [
-        jnp.concatenate([params["rgb_feat_w"], params["ins_feat_w"],
-                         params["density_w"]], axis=1),
-        jnp.concatenate([params["rgb_feat_b"], params["ins_feat_b"],
-                         params["density_b"]])[None, :],
-    ]
+    # head algebra fusion (module docstring): fold the activation-free
+    # rgb_feature / ins_feature linears into the hidden layers, in f32
     wrh = params["rgb_hid_w"]
     hsd = wrh.shape[0] - _emb_dim(multires_views)
-    out += [jnp.concatenate([wrh[:hsd], wrh[hsd:][permd]], axis=0),
-            params["rgb_hid_b"][None, :]]
-    for key in ("rgb_out", "ins_hid", "ins_out"):
+    wrh1, wrh2 = wrh[:hsd], wrh[hsd:][permd]
+    wih = params["ins_hid_w"]
+    Hr = wrh1.shape[1]
+    m1 = jnp.concatenate([
+        params["rgb_feat_w"] @ wrh1,
+        params["ins_feat_w"] @ wih,
+        params["density_w"],
+    ], axis=1)
+    b1 = jnp.concatenate([
+        params["rgb_feat_b"] @ wrh1 + params["rgb_hid_b"],
+        params["ins_feat_b"] @ wih + params["ins_hid_b"],
+        params["density_b"],
+    ])[None, :]
+    out += [m1, b1, wrh2, jnp.zeros((1, Hr), m1.dtype)]
+    for key in ("rgb_out", "ins_out"):
         out += [params[f"{key}_w"], params[f"{key}_b"][None, :]]
     return out
 
@@ -174,20 +201,33 @@ def _unpack_grads(dws: Sequence[jnp.ndarray], params: Params, multires: int,
             dw = dwk
         grads[f"trunk_{i}_w"], grads[f"trunk_{i}_b"] = dw, db[0]
 
-    dwhead, dbhead = next(it), next(it)
-    Wf = params["rgb_feat_w"].shape[1]
-    Wi = params["ins_feat_w"].shape[1]
-    grads["rgb_feat_w"], grads["rgb_feat_b"] = dwhead[:, :Wf], dbhead[0, :Wf]
-    grads["ins_feat_w"] = dwhead[:, Wf:Wf + Wi]
-    grads["ins_feat_b"] = dbhead[0, Wf:Wf + Wi]
-    grads["density_w"], grads["density_b"] = dwhead[:, Wf + Wi:], dbhead[0, Wf + Wi:]
+    # head algebra fusion: map (dM1, db1, dWrh2, ...) back to the reference
+    # parameters by the product rule, in f32 — exact chain rule through the
+    # f32 premultiplications _pack performs
+    dm1, db1 = next(it), next(it)
+    wrh = params["rgb_hid_w"]
+    hsd = wrh.shape[0] - _emb_dim(multires_views)
+    wrh1 = wrh[:hsd]
+    wih = params["ins_hid_w"]
+    Hr, Hi = wrh1.shape[1], wih.shape[1]
+    dm1r, dm1i = dm1[:, :Hr], dm1[:, Hr:Hr + Hi]
+    db1r, db1i = db1[0, :Hr], db1[0, Hr:Hr + Hi]
+    grads["density_w"], grads["density_b"] = dm1[:, Hr + Hi:], db1[0, Hr + Hi:]
+    grads["rgb_feat_w"] = dm1r @ wrh1.T
+    grads["rgb_feat_b"] = db1r @ wrh1.T
+    grads["ins_feat_w"] = dm1i @ wih.T
+    grads["ins_feat_b"] = db1i @ wih.T
+    dwrh1 = (params["rgb_feat_w"].T @ dm1r
+             + params["rgb_feat_b"][:, None] * db1r[None, :])
+    grads["ins_hid_w"] = (params["ins_feat_w"].T @ dm1i
+                          + params["ins_feat_b"][:, None] * db1i[None, :])
+    grads["ins_hid_b"] = db1i
 
-    dwrhk, dbrh = next(it), next(it)
-    hsd = params["rgb_hid_w"].shape[0] - _emb_dim(multires_views)
+    dwrh2, _dzb = next(it), next(it)
     grads["rgb_hid_w"] = jnp.concatenate(
-        [dwrhk[:hsd], jnp.take(dwrhk[hsd:], _inv_perm(permd), axis=0)], axis=0)
-    grads["rgb_hid_b"] = dbrh[0]
-    for key in ("rgb_out", "ins_hid", "ins_out"):
+        [dwrh1, jnp.take(dwrh2, _inv_perm(permd), axis=0)], axis=0)
+    grads["rgb_hid_b"] = db1r
+    for key in ("rgb_out", "ins_out"):
         grads[f"{key}_w"], grads[f"{key}_b"] = next(it), next(it)[0]
     return grads
 
@@ -373,29 +413,26 @@ def _forward_core(e, ed, wv, kinds, Wf, Wi, cache_dtype, want_cache,
         h = cast(jnp.maximum(pre + b, 0.0))
         hs.append(h)
 
-    whead, bhead = next(it), next(it)
-    head = _dot(h, whead) + bhead
-    rf, fi, sigma = head[:, :Wf], head[:, Wf:Wf + Wi], head[:, Wf + Wi:]
-    rf, fi = cast(rf), cast(fi)
-
-    wrh, brh = next(it), next(it)
-    if transposed:
-        pre_rh = _dot(rf, wrh[:Wf]) + _dot_te(ed, wrh[Wf:])
-    else:
-        pre_rh = _dot(jnp.concatenate([rf, ed], axis=-1), wrh)
-    rh = cast(jnp.maximum(pre_rh + brh, 0.0))
+    # fused head (module docstring): Wf/Wi carry the rgb/ins HIDDEN widths
+    # (Hr/Hi — stub pytrees shrink them); M1's trailing density column is
+    # bit-identical to the old layout's
+    m1, b1 = next(it), next(it)
+    pre1 = _dot(h, m1) + b1                     # [T, Hr+Hi+1] f32
+    wrh2, _zb = next(it), next(it)
+    edc = _dot_te(ed, wrh2) if transposed else _dot(ed, wrh2)
+    rh = cast(jnp.maximum(pre1[:, :Wf] + edc, 0.0))
+    ih = cast(jnp.maximum(pre1[:, Wf:Wf + Wi], 0.0))
+    sigma = pre1[:, Wf + Wi:]
     wro, bro = next(it), next(it)
     rgb = _dot(rh, wro) + bro
-    wih, bih = next(it), next(it)
-    ih = cast(jnp.maximum(_dot(fi, wih) + bih, 0.0))
     wio, bio = next(it), next(it)
     ins = _dot(ih, wio) + bio
 
     out = jnp.concatenate([rgb, sigma, ins], axis=-1)
     if not want_cache:
         return out, None
-    cache = dict(e=e, ed=ed, hs=hs, rf=rf, fi=fi, rh=rh, ih=ih,
-                 heads=(whead, wrh, wro, wih, wio))
+    cache = dict(e=e, ed=ed, hs=hs, rh=rh, ih=ih,
+                 heads=(m1, wro, wio))
     return out, cache
 
 
@@ -502,8 +539,8 @@ def _backward_core(g, wv, cache, kinds, Wf, Wi, cache_dtype, transposed=False):
     are plain eT @ d (contracting the point lanes) instead of e^T @ d."""
     e, ed, hs_list = cache["e"], cache["ed"], cache["hs"]
     emb_dw = (lambda emb, d: _dot(emb, d)) if transposed else _dot_tt
-    rf, fi, rh, ih = cache["rf"], cache["fi"], cache["rh"], cache["ih"]
-    whead, wrh, wro, wih, wio = cache["heads"]
+    rh, ih = cache["rh"], cache["ih"]
+    m1, wro, wio = cache["heads"]
     h_last = hs_list[-1]
 
     C = wio.shape[1]
@@ -514,34 +551,25 @@ def _backward_core(g, wv, cache, kinds, Wf, Wi, cache_dtype, transposed=False):
     cast = (lambda a: a.astype(cache_dtype)) if cache_dtype is not None else (lambda a: a)
     g_rgb_c, g_sigma_c, g_ins_c = cast(g_rgb), cast(g_sigma), cast(g_ins)
 
-    # ---- ins head (no cotangent into the trunk: the reference's detach) ----
+    # ---- fused head (module docstring): Wf/Wi = hidden widths Hr/Hi ----
+    # ins branch: no cotangent into the trunk (the reference's detach)
     d_ih = _dot_nt(g_ins_c, wio) * _mask(ih)
     d_ih_c = cast(d_ih)
-    d_fi = _dot_nt(d_ih_c, wih)
-    d_fi_c = cast(d_fi)
     dwio, dbio = _dot_tt(ih, g_ins_c), jnp.sum(g_ins, 0, keepdims=True)
-    dwih, dbih = _dot_tt(fi, d_ih_c), jnp.sum(d_ih, 0, keepdims=True)
 
-    # ---- rgb head ----
     d_rh = _dot_nt(g_rgb_c, wro) * _mask(rh)
     d_rh_c = cast(d_rh)
     dwro, dbro = _dot_tt(rh, g_rgb_c), jnp.sum(g_rgb, 0, keepdims=True)
-    # single dW for the [rf | ed] -> rh linear
-    if transposed:
-        dwrh = jnp.concatenate([_dot_tt(rf, d_rh_c), emb_dw(ed, d_rh_c)], axis=0)
-    else:
-        dwrh = _dot_tt(jnp.concatenate([rf, ed], axis=-1), d_rh_c)
-    dbrh = jnp.sum(d_rh, 0, keepdims=True)
-    d_rf = _dot_nt(d_rh_c, wrh[:Wf])
-    d_rf_c = cast(d_rf)
+    dwrh2 = emb_dw(ed, d_rh_c)
+    dzb = jnp.zeros((1, Wf), jnp.float32)  # structural zero bias slot
 
-    # ---- fused head linear: dW over ALL columns, dx over rgb+density only ----
-    d_head_c = jnp.concatenate([d_rf_c, d_fi_c, g_sigma_c], axis=-1)
-    dwhead = _dot_tt(h_last, d_head_c)
-    dbhead = jnp.concatenate([jnp.sum(d_rf, 0, keepdims=True),
-                              jnp.sum(d_fi, 0, keepdims=True),
-                              jnp.sum(g_sigma, 0, keepdims=True)], axis=-1)
-    d_h = _dot_nt(d_rf_c, whead[:, :Wf]) + _dot_nt(g_sigma_c, whead[:, Wf + Wi:])
+    # one dM1/db1 over [rgb | ins | density] columns; dx excludes the ins block
+    d_pre1_c = jnp.concatenate([d_rh_c, d_ih_c, g_sigma_c], axis=-1)
+    dm1 = _dot_tt(h_last, d_pre1_c)
+    db1 = jnp.concatenate([jnp.sum(d_rh, 0, keepdims=True),
+                           jnp.sum(d_ih, 0, keepdims=True),
+                           jnp.sum(g_sigma, 0, keepdims=True)], axis=-1)
+    d_h = _dot_nt(d_rh_c, m1[:, :Wf]) + _dot_nt(g_sigma_c, m1[:, Wf + Wi:])
 
     # ---- trunk (reverse) ----
     trunk_grads: List[List[jnp.ndarray]] = []
@@ -572,7 +600,7 @@ def _backward_core(g, wv, cache, kinds, Wf, Wi, cache_dtype, transposed=False):
     grads: List[jnp.ndarray] = []
     for lg in reversed(trunk_grads):
         grads.extend(lg)
-    grads += [dwhead, dbhead, dwrh, dbrh, dwro, dbro, dwih, dbih, dwio, dbio]
+    grads += [dm1, db1, dwrh2, dzb, dwro, dbro, dwio, dbio]
     return grads
 
 
@@ -755,8 +783,10 @@ def make_pallas_query_fn(
         layout = _fuse_layout([w.shape for w in flat[::2]])
         fused = [w.astype(cache_dtype) if i % 2 == 0 else w
                  for i, w in enumerate(_fuse_ops(flat, layout))]
-        Wf = params["rgb_feat_w"].shape[1]
-        Wi = params["ins_feat_w"].shape[1]
+        # head algebra fusion: the kernels split M1's columns by the rgb/ins
+        # HIDDEN widths (Hr/Hi) — stub pytrees shrink these to stub_w
+        Wf = params["rgb_hid_w"].shape[1]
+        Wi = params["ins_hid_w"].shape[1]
         C4 = params["ins_out_w"].shape[1] + 4
         return fused, layout, len(flat) // 2, Wf, Wi, C4
 
