@@ -241,6 +241,16 @@ def write_scannet_scene(
     Labels use the raw ScanNet convention: -1 for unlabeled pixels, 0..L-1 for
     instances; the loader remaps -1 -> ins_num (air). A fraction of labeled
     pixels is dropped to -1 to exercise the weakly-supervised path.
+
+    Camera convention: real ScanNet poses are OpenCV camera-to-world (y down,
+    z FORWARD) with positive intrinsics — the reference feeds them to
+    get_rays_k with K[2,2]=+1 (loader_scannet.py + helpers.py:50-61). The
+    renderer here works in the blender convention (_look_at: camera looks
+    along -z), so the saved pose is c2w_blender @ diag(1,-1,-1,1): the y/z
+    column flip that maps OpenCV camera axes onto blender's. Without it the
+    loaded rays point backward and vertically flipped relative to the rendered
+    pixels (caught on the first on-chip ScanNet cycle, r5: train-batch PSNR
+    rose but held-out views sat at ~14 dB).
     """
     import h5py
     import imageio.v2 as imageio
@@ -281,7 +291,9 @@ def write_scannet_scene(
             drop = rng.rand(H, W) < unlabeled_frac
             raw[drop] = -1
             imageio.imwrite(os.path.join(img_dir, f"{i}.jpg"), (rgb * 255).astype(np.uint8))
-            np.savetxt(os.path.join(pose_dir, f"{i}.txt"), c2w)
+            # save the OpenCV-convention pose (see docstring): blender -> cv
+            c2w_cv = c2w @ np.diag([1.0, -1.0, -1.0, 1.0]).astype(np.float32)
+            np.savetxt(os.path.join(pose_dir, f"{i}.txt"), c2w_cv)
             np.savez(os.path.join(ins_dir, f"{i}.npz"), ins_2d_label_id=raw)
 
     palette = rng.randint(0, 255, size=(n_objects + 4, 3)).astype(np.uint8)

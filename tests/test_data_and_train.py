@@ -102,6 +102,55 @@ def test_scannet_loader_roundtrip(tmp_path):
         assert (labs != scene.ins_num).all()
 
 
+def test_scannet_fixture_ray_geometry_consistent(tmp_path):
+    """The ScanNet fixture's (positive-K intrinsics, OpenCV pose) pair must be
+    geometrically consistent with its rendered pixels: casting the LOADER's
+    rays at labeled pixels must hit the sphere the label names. Catches
+    camera-convention drift between the synthetic writer and the loader (the
+    r5 on-chip cycle found poses saved in blender convention: train-batch PSNR
+    rose while held-out views sat at ~14 dB — a format round-trip test cannot
+    see this)."""
+    from dmnerf_tpu.core.rays import rays_for_pixels
+    from dmnerf_tpu.data.scannet import load_scannet
+    from dmnerf_tpu.data.synthetic import write_scannet_scene
+
+    d = str(tmp_path / "scene0114_00")
+    spec = write_scannet_scene(d, n_train=4, n_test=2, H=32, W=40, n_objects=3,
+                               unlabeled_frac=0.0)
+    cfg = tiny_config(datadir=d, testskip=1, crop_width=40, crop_height=32, ins_num=3)
+    scene = load_scannet(cfg)
+
+    def first_hit_label(o, dvec):
+        dn = dvec / np.linalg.norm(dvec)
+        best_t, lab = np.inf, scene.ins_num  # miss = air
+        for k in range(len(spec["radii"])):
+            oc = o - spec["centers"][k]
+            b = float(np.dot(oc, dn))
+            disc = b * b - (float(np.dot(oc, oc)) - float(spec["radii"][k]) ** 2)
+            if disc <= 0:
+                continue
+            t = -b - np.sqrt(disc)
+            if 1e-3 < t < best_t:
+                best_t, lab = t, k  # raw label k-1+1 = k after loader offset
+        return lab
+
+    rng = np.random.RandomState(0)
+    checked = 0
+    for img_i in scene.i_train[:2]:
+        labs = scene.gt_labels[img_i]
+        ys, xs = np.where(labs != scene.ins_num)
+        sel = rng.choice(len(ys), size=min(20, len(ys)), replace=False)
+        ro, rd = rays_for_pixels(jnp.asarray(ys[sel]), jnp.asarray(xs[sel]),
+                                 jnp.asarray(scene.K), jnp.asarray(scene.poses[img_i]))
+        ro, rd = np.asarray(ro), np.asarray(rd)
+        for j in range(len(sel)):
+            want = int(labs[ys[sel][j], xs[sel][j]])
+            got = first_hit_label(ro[j], rd[j])
+            assert got == want, (img_i, ys[sel][j], xs[sel][j], got, want)
+            checked += 1
+    assert checked >= 30
+
+
 def test_dmsr_mani_loader_roundtrip(tmp_path):
     from dmnerf_tpu.data.dmsr_mani import load_dmsr_mani
     from dmnerf_tpu.data.synthetic import write_dmsr_scene
