@@ -174,6 +174,14 @@ def write_replica_scene(
     train+2 for test, so the trajectory file carries 900 rows; image files are
     written only for the ids the loader actually reads (train ids + the
     testskip-subsampled test ids) to keep the fixture fast.
+
+    Camera convention: real Replica traj_w_c poses are OpenCV camera-to-world
+    (y down, z FORWARD) and the reference builds a POSITIVE K with fz=+1
+    (loader_replica.py:188-189 + helpers.py get_rays_k). The renderer here
+    works in the blender convention (_look_at), so the saved trajectory rows
+    are c2w_blender @ diag(1,-1,-1,1) — same convention bridge as
+    write_scannet_scene (see its docstring for the failure mode this
+    prevents).
     """
     import h5py
     import imageio.v2 as imageio
@@ -181,8 +189,10 @@ def write_replica_scene(
     spec = default_spec(n_objects, seed)
     focal = W / 2.0
     # render with the blender-convention K (camera looks along -z, matching
-    # _look_at); the loader derives its own positive-convention K from focal=W/2
-    K_render = np.array([[focal, 0, W * 0.5], [0, -focal, H * 0.5], [0, 0, -1]], np.float32)
+    # _look_at); centers at (W-1)/2 to match the loader's derived K exactly
+    # (reference loader_replica.py:188: K centers at (W-1)*.5/(H-1)*.5)
+    K_render = np.array([[focal, 0, (W - 1) * 0.5], [0, -focal, (H - 1) * 0.5],
+                         [0, 0, -1]], np.float32)
 
     total, step = 900, 5
     train_ids = list(range(0, total, step))
@@ -196,7 +206,10 @@ def write_replica_scene(
         eye = np.array([radius * np.cos(ang), radius * np.sin(ang), 1.6], np.float32)
         poses[i] = _look_at(eye, np.zeros(3, np.float32))
     os.makedirs(out_dir, exist_ok=True)
-    np.savetxt(os.path.join(out_dir, "traj_w_c.txt"), poses.reshape(total, 16), delimiter=" ")
+    # trajectory rows in the OpenCV convention (see docstring): blender -> cv
+    poses_cv = poses @ np.diag([1.0, -1.0, -1.0, 1.0]).astype(np.float32)
+    np.savetxt(os.path.join(out_dir, "traj_w_c.txt"), poses_cv.reshape(total, 16),
+               delimiter=" ")
 
     rgb_dir = os.path.join(out_dir, "rgb")
     ins_dir = os.path.join(out_dir, "semantic_instance")

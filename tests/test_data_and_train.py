@@ -102,27 +102,20 @@ def test_scannet_loader_roundtrip(tmp_path):
         assert (labs != scene.ins_num).all()
 
 
-def test_scannet_fixture_ray_geometry_consistent(tmp_path):
-    """The ScanNet fixture's (positive-K intrinsics, OpenCV pose) pair must be
-    geometrically consistent with its rendered pixels: casting the LOADER's
-    rays at labeled pixels must hit the sphere the label names. Catches
-    camera-convention drift between the synthetic writer and the loader (the
-    r5 on-chip cycle found poses saved in blender convention: train-batch PSNR
-    rose while held-out views sat at ~14 dB — a format round-trip test cannot
-    see this)."""
+def _assert_fixture_ray_geometry(scene, spec, label_of_sphere, n_imgs=2):
+    """Casting the LOADER's rays at labeled pixels must hit the sphere the
+    label names — pins the (intrinsics, pose-convention) pair of a synthetic
+    fixture against its rendered pixels. Catches camera-convention drift a
+    format round-trip test cannot see (the r5 on-chip ScanNet cycle found
+    blender-convention poses saved with OpenCV intrinsics: train-batch PSNR
+    rose while held-out views sat at ~14 dB)."""
     from dmnerf_tpu.core.rays import rays_for_pixels
-    from dmnerf_tpu.data.scannet import load_scannet
-    from dmnerf_tpu.data.synthetic import write_scannet_scene
 
-    d = str(tmp_path / "scene0114_00")
-    spec = write_scannet_scene(d, n_train=4, n_test=2, H=32, W=40, n_objects=3,
-                               unlabeled_frac=0.0)
-    cfg = tiny_config(datadir=d, testskip=1, crop_width=40, crop_height=32, ins_num=3)
-    scene = load_scannet(cfg)
+    air = scene.ins_num
 
     def first_hit_label(o, dvec):
         dn = dvec / np.linalg.norm(dvec)
-        best_t, lab = np.inf, scene.ins_num  # miss = air
+        best_t, lab = np.inf, air
         for k in range(len(spec["radii"])):
             oc = o - spec["centers"][k]
             b = float(np.dot(oc, dn))
@@ -131,14 +124,14 @@ def test_scannet_fixture_ray_geometry_consistent(tmp_path):
                 continue
             t = -b - np.sqrt(disc)
             if 1e-3 < t < best_t:
-                best_t, lab = t, k  # raw label k-1+1 = k after loader offset
+                best_t, lab = t, label_of_sphere(k)
         return lab
 
     rng = np.random.RandomState(0)
     checked = 0
-    for img_i in scene.i_train[:2]:
+    for img_i in scene.i_train[:n_imgs]:
         labs = scene.gt_labels[img_i]
-        ys, xs = np.where(labs != scene.ins_num)
+        ys, xs = np.where((labs != air) & (labs != label_of_sphere(-1)))
         sel = rng.choice(len(ys), size=min(20, len(ys)), replace=False)
         ro, rd = rays_for_pixels(jnp.asarray(ys[sel]), jnp.asarray(xs[sel]),
                                  jnp.asarray(scene.K), jnp.asarray(scene.poses[img_i]))
@@ -149,6 +142,33 @@ def test_scannet_fixture_ray_geometry_consistent(tmp_path):
             assert got == want, (img_i, ys[sel][j], xs[sel][j], got, want)
             checked += 1
     assert checked >= 30
+
+
+def test_scannet_fixture_ray_geometry_consistent(tmp_path):
+    from dmnerf_tpu.data.scannet import load_scannet
+    from dmnerf_tpu.data.synthetic import write_scannet_scene
+
+    d = str(tmp_path / "scene0114_00")
+    spec = write_scannet_scene(d, n_train=4, n_test=2, H=32, W=40, n_objects=3,
+                               unlabeled_frac=0.0)
+    cfg = tiny_config(datadir=d, testskip=1, crop_width=40, crop_height=32, ins_num=3)
+    scene = load_scannet(cfg)
+    # sphere k carries raw label k-1 -> loader label k... (raw = render label - 1)
+    _assert_fixture_ray_geometry(scene, spec, label_of_sphere=lambda k: k)
+
+
+def test_replica_fixture_ray_geometry_consistent(tmp_path):
+    """Same geometry pin for the Replica fixture: OpenCV traj_w_c rows vs the
+    loader's positive focal=W/2 K (reference loader_replica.py:188-189)."""
+    from dmnerf_tpu.data.replica import load_replica
+    from dmnerf_tpu.data.synthetic import write_replica_scene
+
+    d = str(tmp_path / "replica_room")
+    spec = write_replica_scene(d, H=32, W=40, n_objects=3, ins_num=8, testskip=10)
+    cfg = tiny_config(datadir=d, testskip=10, ins_num=8)
+    scene = load_replica(cfg)
+    # render labels: background 0, sphere k -> k+1 (no -1 remap on replica)
+    _assert_fixture_ray_geometry(scene, spec, label_of_sphere=lambda k: k + 1)
 
 
 def test_dmsr_mani_loader_roundtrip(tmp_path):
