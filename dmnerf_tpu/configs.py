@@ -53,7 +53,9 @@ class Config:
 
     # inference / chunking  (reference config.py:36-37)
     N_test: int = 2048
-    render_factor: int = 0
+    render_factor: int = 0    # declared for config-vocabulary parity; the
+                              # reference declares it (config.py:65) but no
+                              # reference code path ever reads it — inert here too
 
     # dataset options  (reference config.py:74-91)
     testskip: int = 10
